@@ -1,0 +1,372 @@
+"""Analysis and evaluation of instance predictions.
+
+Re-implementation of the reference's ampis/analyze.py (728 LoC): ground
+truth <-> prediction matching on mask IoU, detection/segmentation
+precision-recall, boundary-error distances, and performance-visualization
+instance sets.
+
+Differences from the reference, by design:
+
+* pairwise IoU uses the batched C++ codec (ampis_tpu.rle.iou) with no 80x80
+  tiling limit; the tiled helpers (`_piecewise_iou`, `_piecewise_rle_match`,
+  reference analyze.py:54-181) are kept with identical outputs for API
+  compatibility, but both paths produce the same numbers;
+* `mask_edge_distance` (reference analyze.py:416-499) computes min-distance
+  with a JAX broadcast instead of torch.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from . import rle
+from .structures import (InstanceSet, Instances, RLEMasks, masks_to_rle,
+                         masks_to_bitmask_array)
+
+
+def align_instance_sets(a, b):
+    """Reorder list *b* to match list *a* by image filename.
+
+    Reference: analyze.py:19-51. Only pairs present in both lists are kept.
+    """
+    bdict = {Path(item.filepath).name: item for item in b}
+    a_ordered = []
+    b_ordered = []
+    for item in a:
+        x = bdict.get(Path(item.filepath).name, None)
+        if x is not None:
+            a_ordered.append(item)
+            b_ordered.append(x)
+    return a_ordered, b_ordered
+
+
+def _piecewise_iou(a, b, interval=80):
+    """len(a) x len(b) pairwise IoU, computed in interval-sized tiles.
+
+    Reference: analyze.py:54-112 (tiling worked around a pycocotools batch
+    limit). The C++ codec has no such limit, but the tiled path is preserved
+    so its outputs stay bit-identical; it simply calls the batched kernel
+    per tile.
+    """
+    imax = len(a)
+    jmax = len(b)
+    target = np.zeros((imax, jmax))
+    n_seg_a = imax // interval + int(bool(imax % interval))
+    n_seg_b = jmax // interval + int(bool(jmax % interval))
+    _is_crowd = np.zeros(interval, bool)
+    for i in range(n_seg_a):
+        i1 = interval * i
+        i2 = min(i1 + interval, imax)
+        a_masks = a[i1:i2]
+        is_crowd = _is_crowd[:i2 - i1]
+        for j in range(n_seg_b):
+            j1 = interval * j
+            j2 = min(j1 + interval, jmax)
+            b_masks = b[j1:j2]
+            target[i1:i2, j1:j2] = rle.iou(b_masks, a_masks, is_crowd).T
+    return target
+
+
+def _piecewise_rle_match(gt, pred, iou_thresh=0.5, interval=80):
+    """Greedy per-GT argmax matching of RLE masks by IoU.
+
+    Reference: analyze.py:115-181. Each ground-truth mask matches the
+    prediction with the highest IoU if that IoU exceeds ``iou_thresh``;
+    unmatched GT are false negatives, unmatched predictions false positives.
+    The batched IoU matrix is computed in one C++ call; the greedy argmax
+    sweep over GT rows reproduces the reference's matching order exactly
+    (including its behavior when one prediction is the argmax of several GT
+    masks: each such GT records a match to the same prediction).
+    """
+    iou_matrix = rle.iou(pred, gt, np.zeros(len(gt), bool))  # (n_pred, n_gt)
+
+    tp = []
+    fn = []
+    iou_scores = []
+    pred_matched = np.zeros(len(pred), bool)
+
+    for gt_idx in range(len(gt)):
+        col = iou_matrix[:, gt_idx] if len(pred) else np.zeros(0)
+        if col.size:
+            iou_argmax = int(np.argmax(col))
+            iou_max = col[iou_argmax]
+        else:
+            iou_argmax, iou_max = -1, 0.0
+        if iou_max > iou_thresh:
+            tp.append([gt_idx, iou_argmax])
+            iou_scores.append(iou_max)
+            pred_matched[iou_argmax] = True
+        else:
+            fn.append(gt_idx)
+
+    fp = np.asarray(
+        [x for x, matched in enumerate(pred_matched) if not matched], int)
+
+    return {'tp': np.asarray(tp, int),
+            'fn': np.asarray(fn, int),
+            'fp': np.asarray(fp, int),
+            'iou': np.asarray(iou_scores)}
+
+
+def rle_instance_matcher(gt, pred, iou_thresh=0.5, size=None):
+    """Match GT and predicted instances by mask IoU (single class).
+
+    Reference: analyze.py:184-223. Returns {'tp': (n_match, 2) [gt_idx,
+    pred_idx], 'fn', 'fp', 'iou'}.
+    """
+    gt = masks_to_rle(gt, size)
+    pred = masks_to_rle(pred, size)
+    return _piecewise_rle_match(gt, pred, iou_thresh)
+
+
+def det_seg_scores(gt, pred, iou_thresh=0.5, size=None):
+    """Detection and segmentation precision/recall for a pair of mask sets.
+
+    Reference: analyze.py:226-339. Detection P/R count matched instances;
+    segmentation P/R count pixels within each matched pair (computed from
+    RLE intersection areas, no decode).
+    """
+    gtmasks = masks_to_rle(gt, size)
+    predmasks = masks_to_rle(pred, size)
+
+    detection_results = rle_instance_matcher(
+        gtmasks, predmasks, iou_thresh=iou_thresh, size=size)
+    matches = np.asarray(detection_results['tp'])
+
+    tp_det = len(matches)
+    fn_det = len(detection_results['fn'])
+    fp_det = len(detection_results['fp'])
+
+    det_precision = tp_det / (tp_det + fp_det) if tp_det + fp_det else 0.0
+    det_recall = tp_det / (tp_det + fn_det) if tp_det + fn_det else 0.0
+
+    gtmasks_tp = [gtmasks[i[0]] for i in matches]
+    predmasks_tp = [predmasks[i[1]] for i in matches]
+    seg_tp = np.array(
+        [int(rle.area(rle.merge([m1, m2], intersect=True)))
+         for m1, m2 in zip(gtmasks_tp, predmasks_tp)], np.int64)
+
+    tp_gt_area = np.array([int(rle.area(m)) for m in gtmasks_tp], np.int64)
+    tp_pred_area = np.array([int(rle.area(m)) for m in predmasks_tp],
+                            np.int64)
+
+    seg_fp = tp_pred_area - seg_tp
+    seg_fn = tp_gt_area - seg_tp
+
+    with np.errstate(divide='ignore', invalid='ignore'):
+        seg_precision = seg_tp / (seg_tp + seg_fp)
+        seg_recall = seg_tp / (seg_tp + seg_fn)
+
+    return {'det_precision': det_precision,
+            'det_recall': det_recall,
+            'seg_precision': seg_precision,
+            'seg_recall': seg_recall,
+            'det_tp': matches,
+            'det_fn': detection_results['fn'],
+            'det_fp': detection_results['fp'],
+            'seg_tp': seg_tp,
+            'seg_fn': seg_fn,
+            'seg_fp': seg_fp,
+            'det_tp_iou': detection_results['iou']}
+
+
+def merge_boxes(box1, box2):
+    """Smallest [r1, r2, c1, c2] box enclosing both input boxes.
+
+    Reference: analyze.py:342-376.
+    """
+    r11, r12, c11, c12 = box1
+    r21, r22, c21, c22 = box2
+    return np.array([min(r11, r21), max(r12, r22),
+                     min(c11, c21), max(c12, c22)])
+
+
+def _min_euclid(a, b):
+    """Min euclidean distance from each row of *a* to rows of *b*.
+
+    Reference: analyze.py:379-413 (torch). Implemented as a jitted JAX
+    broadcast so it runs on whatever accelerator is available; inputs and
+    outputs are numpy.
+    """
+    import jax.numpy as jnp
+    import jax
+
+    @jax.jit
+    def _kernel(aa, bb):
+        diff = aa[:, None, :].astype(jnp.float64) - bb[None, :, :].astype(
+            jnp.float64)
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=2))
+        return jnp.min(d, axis=1)
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if len(a) == 0:
+        return np.zeros(0)
+    if len(b) == 0:
+        return np.full(len(a), np.inf)
+    return np.asarray(_kernel(a, b))
+
+
+def mask_edge_distance(gt_mask, pred_mask, gt_box, pred_box, matches,
+                       device='auto'):
+    """Boundary disagreement between matched mask pairs.
+
+    Reference: analyze.py:416-499. For each matched pair: distance from
+    every false-positive pixel to the nearest GT pixel and from every
+    false-negative pixel to the nearest predicted pixel. ``device`` is
+    accepted for API compatibility; computation happens wherever JAX runs.
+    """
+    if isinstance(gt_mask, RLEMasks):
+        gt_mask = gt_mask.rle
+    if isinstance(pred_mask, RLEMasks):
+        pred_mask = pred_mask.rle
+
+    gt_masks = [gt_mask[i] for i in matches[:, 0]]
+    gt_boxes = [gt_box[i] for i in matches[:, 0]]
+    pred_masks = [pred_mask[i] for i in matches[:, 1]]
+    pred_boxes = [pred_box[i] for i in matches[:, 1]]
+
+    FP_distances = []
+    FN_distances = []
+    for gm, pm, gb, pb in zip(gt_masks, pred_masks, gt_boxes, pred_boxes):
+        r1, r2, c1, c2 = merge_boxes(gb, pb)
+        gm_arr = rle.decode(gm)[r1:r2, c1:c2].astype(bool)
+        pm_arr = rle.decode(pm)[r1:r2, c1:c2].astype(bool)
+
+        gt_where = np.stack(np.where(gm_arr), axis=1)
+        pred_where = np.stack(np.where(pm_arr), axis=1)
+        FP_where = np.stack(np.where(pm_arr & ~gm_arr), axis=1)
+        FN_where = np.stack(np.where(gm_arr & ~pm_arr), axis=1)
+
+        FP_dist = (_min_euclid(FP_where, gt_where) if FP_where.size
+                   else np.zeros(0))
+        FN_dist = (_min_euclid(FN_where, pred_where) if FN_where.size
+                   else np.zeros(0))
+        FP_distances.append(FP_dist)
+        FN_distances.append(FN_dist)
+
+    return FP_distances, FN_distances
+
+
+def det_perf_iset(gt, pred, match_results=None, colormap=None, tp_gt=False):
+    """InstanceSet coloring detection TP/FP/FN for visualization.
+
+    Reference: analyze.py:502-586 (TP purple, FP cyan, FN red by default).
+    """
+    if match_results is None:
+        match_results = rle_instance_matcher(gt, pred)
+
+    return_colormap = colormap is None
+
+    size = gt.instances.image_size
+    gt_masks = masks_to_rle(gt.instances.masks, size)
+    pred_masks = masks_to_rle(pred.instances.masks, size)
+
+    gt_bbox = (gt.instances.boxes if isinstance(gt.instances.boxes, np.ndarray)
+               else np.asarray(gt.instances.boxes.tensor))
+    pred_bbox = (pred.instances.boxes
+                 if isinstance(pred.instances.boxes, np.ndarray)
+                 else np.asarray(pred.instances.boxes.tensor))
+
+    if colormap is None:
+        colormap = {'TP': np.asarray([0.5, 0., 1.]),
+                    'FP': np.asarray([0., 1., 1.]),
+                    'FN': np.asarray([1., 0., 0.])}
+
+    if tp_gt:
+        tp_idx = match_results['tp'][:, 0]
+        tp_masks = [gt_masks[i] for i in tp_idx]
+        tp_bbox = gt_bbox[tp_idx]
+    else:
+        tp_idx = match_results['tp'][:, 1]
+        tp_masks = [pred_masks[i] for i in tp_idx]
+        tp_bbox = pred_bbox[tp_idx]
+    tp_colors = np.tile(colormap['TP'], (len(tp_masks), 1))
+
+    fp_idx = match_results['fp']
+    fp_masks = [pred_masks[i] for i in fp_idx]
+    fp_bbox = pred_bbox[fp_idx]
+    fp_colors = np.tile(colormap['FP'], (len(fp_masks), 1))
+
+    fn_idx = match_results['fn']
+    fn_masks = [gt_masks[i] for i in fn_idx]
+    fn_bbox = gt_bbox[fn_idx]
+    fn_colors = np.tile(colormap['FN'], (len(fn_masks), 1))
+
+    masks = RLEMasks(tp_masks + fp_masks + fn_masks)
+    bbox = np.concatenate((tp_bbox, fp_bbox, fn_bbox), axis=0)
+    colors = np.concatenate((tp_colors, fp_colors, fn_colors), axis=0)
+
+    iset = InstanceSet()
+    iset.instances = Instances(image_size=tuple(masks.rle[0]['size']),
+                               masks=masks, boxes=bbox, colors=colors)
+
+    if return_colormap:
+        return iset, colormap
+    return iset
+
+
+def seg_perf_iset(gt_masks, pred_masks, match_results=None, mode='reduced'):
+    """InstanceSet of pixelwise TP/FN/FP/overlap maps for visualization.
+
+    Reference: analyze.py:589-699. Pixels are classified via the 3-bit code
+    tp + 2*fn + 4*fp; 'all' mode keeps the 7 non-background combinations,
+    'reduced' collapses to TP / FN / FP / other.
+    """
+    if match_results is None:
+        match_results = rle_instance_matcher(gt_masks, pred_masks)
+    gt_arr = masks_to_bitmask_array(gt_masks)
+    pred_arr = masks_to_bitmask_array(pred_masks)
+
+    tp_idx = match_results['tp']
+    matched_gt = gt_arr[tp_idx[:, 0]]
+    matched_pred = pred_arr[tp_idx[:, 1]]
+
+    tp_mask = np.logical_and(matched_gt, matched_pred)
+    fn_mask = np.logical_and(matched_gt, np.logical_not(matched_pred))
+    fp_mask = np.logical_and(np.logical_not(matched_gt), matched_pred)
+
+    def project(m):
+        return np.logical_or.reduce(m, axis=0)
+
+    pixel_map = (project(tp_mask).astype(np.uint64)
+                 + project(fn_mask).astype(np.uint64) * 2
+                 + project(fp_mask).astype(np.uint64) * 4)
+
+    if mode == 'all':
+        masks = np.zeros((*pixel_map.shape[:2], 7), bool)
+        for i in range(1, 8):
+            masks[:, :, i - 1] = pixel_map == i
+        color_mapper = np.array([
+            [0., 0., 0.],
+            [0.153, 0.153, 0.000],
+            [0.286, 1., 0.],
+            [1., 0.857, 0.],
+            [1., 0., 0.],
+            [0., 0.571, 1.],
+            [0., 1., 0.571],
+            [0.285, 0., 1.]])
+        colors = [color_mapper[1:],
+                  ['Other', 'TP', 'FN', 'TP+FN', 'FP', 'TP+FP', 'FN+FP',
+                   'TP+FN+FP']]
+    else:
+        masks = np.zeros((*pixel_map.shape[:2], 4), bool)
+        for i, idx in enumerate([1, 2, 4]):
+            masks[:, :, i] = pixel_map == idx
+        masks[:, :, 3] = np.logical_or.reduce(
+            [pixel_map == i for i in [3, 5, 6, 7]], axis=0)
+        color_mapper = np.array([[0.5, 0., 1.],
+                                 [1., 0., 0.],
+                                 [0., 1., 1.],
+                                 [1., 1., 0.]])
+        colors = [color_mapper, ['TP', 'FN', 'FP', 'other']]
+
+    masks = rle.encode(np.asfortranarray(masks.astype(np.uint8)))
+    masks = RLEMasks(masks)
+
+    iset = InstanceSet()
+    iset.instances = Instances(image_size=tuple(masks.rle[0]['size']),
+                               masks=masks, colors=colors[0],
+                               boxes=np.zeros((len(masks), 4)))
+    return iset, colors

@@ -1,0 +1,260 @@
+"""Configuration system (yacs-compatible surface over typed defaults).
+
+Replaces detectron2's ``get_cfg()`` + model-zoo YAML merge (reference
+notebook cell 20; key reads at reference data_utils.py:158,169-173). The
+returned CfgNode supports attribute access/assignment, ``merge_from_file``
+with the model-zoo name 'COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x
+.yaml' (mapped onto built-in defaults), ``clone``, and ``dump``.
+
+Default values mirror detectron2's Base-RCNN-FPN + the 3x Mask R-CNN recipe
+so that AP-parity comparisons are apples-to-apples.
+"""
+from __future__ import annotations
+
+import copy
+import json
+
+
+class CfgNode(dict):
+    """Dict with attribute access; nested dicts become CfgNodes."""
+
+    def __init__(self, init=None):
+        super().__init__()
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name, value):
+        if isinstance(value, dict) and not isinstance(value, CfgNode):
+            value = CfgNode(value)
+        self[name] = value
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+    def merge_from_other_cfg(self, other):
+        for k, v in other.items():
+            if (k in self and isinstance(self[k], CfgNode)
+                    and isinstance(v, dict)):
+                self[k].merge_from_other_cfg(v)
+            else:
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def merge_from_file(self, cfg_filename, allow_unsafe=False):
+        name = str(cfg_filename)
+        if "mask_rcnn_R_50_FPN" in name or "Base-RCNN-FPN" in name:
+            # model-zoo config: our defaults already encode it; apply the
+            # 3x-schedule specifics
+            self.SOLVER.STEPS = (210000, 250000)
+            self.SOLVER.MAX_ITER = 270000
+            return
+        with open(name) as f:
+            text = f.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            data = _parse_simple_yaml(text)
+        self.merge_from_other_cfg(data)
+
+    def merge_from_list(self, opts):
+        assert len(opts) % 2 == 0
+        for key, value in zip(opts[::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            old = node.get(parts[-1])
+            if isinstance(value, str) and old is not None \
+                    and not isinstance(old, str):
+                value = type(old)(json.loads(value)) \
+                    if not isinstance(old, bool) else value.lower() == "true"
+            node[parts[-1]] = value
+
+    def dump(self, **_kwargs):
+        return json.dumps(self, indent=2, default=str)
+
+    def freeze(self):  # API compat; configs stay mutable
+        return self
+
+    def defrost(self):
+        return self
+
+
+def _parse_simple_yaml(text):
+    """Tiny YAML subset parser (flat/nested scalar maps) for user configs."""
+    root: dict = {}
+    stack = [(-1, root)]
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        indent = len(line) - len(line.lstrip())
+        key, _, value = line.strip().partition(":")
+        value = value.strip()
+        while stack and indent <= stack[-1][0]:
+            stack.pop()
+        parent = stack[-1][1] if stack else root
+        if not value:
+            child: dict = {}
+            parent[key] = child
+            stack.append((indent, child))
+        else:
+            try:
+                parent[key] = json.loads(value)
+            except json.JSONDecodeError:
+                parent[key] = value
+    return root
+
+
+def get_cfg() -> CfgNode:
+    """Default config: Mask R-CNN R50-FPN (detectron2-compatible keys)."""
+    c = CfgNode()
+
+    c.VERSION = 2
+    c.OUTPUT_DIR = "./output"
+    c.SEED = -1
+
+    c.MODEL = CfgNode()
+    c.MODEL.DEVICE = "tpu"
+    c.MODEL.WEIGHTS = ""
+    c.MODEL.MASK_ON = True
+    c.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    c.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]  # BGR, caffe-style
+    c.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
+
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    c.MODEL.BACKBONE.FREEZE_AT = 2
+
+    c.MODEL.RESNETS = CfgNode()
+    c.MODEL.RESNETS.DEPTH = 50
+    c.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    c.MODEL.RESNETS.NUM_GROUPS = 1
+    c.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+    c.MODEL.RESNETS.STRIDE_IN_1X1 = True
+    c.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    c.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+    c.MODEL.RESNETS.NORM = "FrozenBN"
+
+    c.MODEL.FPN = CfgNode()
+    c.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    c.MODEL.FPN.OUT_CHANNELS = 256
+    c.MODEL.FPN.FUSE_TYPE = "sum"
+
+    c.MODEL.ANCHOR_GENERATOR = CfgNode()
+    c.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    c.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    c.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+
+    c.MODEL.RPN = CfgNode()
+    c.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    c.MODEL.RPN.IOU_THRESHOLDS = [0.3, 0.7]
+    c.MODEL.RPN.IOU_LABELS = [0, -1, 1]
+    c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    c.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    c.MODEL.RPN.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    c.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    c.MODEL.RPN.LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+    c.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    c.MODEL.RPN.NMS_THRESH = 0.7
+    c.MODEL.RPN.BOUNDARY_THRESH = -1
+
+    c.MODEL.ROI_HEADS = CfgNode()
+    c.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    c.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    c.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    c.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.5]
+    c.MODEL.ROI_HEADS.IOU_LABELS = [0, 1]
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    c.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    c.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+
+    c.MODEL.ROI_BOX_HEAD = CfgNode()
+    c.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    c.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    c.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    c.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    c.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    c.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    c.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
+    c.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+
+    c.MODEL.ROI_MASK_HEAD = CfgNode()
+    c.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"
+    c.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+    c.MODEL.ROI_MASK_HEAD.CONV_DIM = 256
+    c.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    c.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
+    c.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
+
+    c.MODEL.PROPOSAL_GENERATOR = CfgNode()
+    c.MODEL.PROPOSAL_GENERATOR.NAME = "RPN"
+
+    c.INPUT = CfgNode()
+    c.INPUT.MIN_SIZE_TRAIN = (640, 672, 704, 736, 768, 800)
+    c.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    c.INPUT.MAX_SIZE_TRAIN = 1333
+    c.INPUT.MIN_SIZE_TEST = 800
+    c.INPUT.MAX_SIZE_TEST = 1333
+    c.INPUT.RANDOM_FLIP = "horizontal"
+    c.INPUT.MASK_FORMAT = "polygon"
+    c.INPUT.FORMAT = "BGR"
+    # TPU-specific: fixed padded canvas (h, w) for static shapes under jit;
+    # None -> derived per dataset from the resize config, rounded up to /32.
+    c.INPUT.FIXED_SIZE = None
+
+    c.DATASETS = CfgNode()
+    c.DATASETS.TRAIN = ()
+    c.DATASETS.TEST = ()
+
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 4
+    c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    c.SOLVER = CfgNode()
+    c.SOLVER.IMS_PER_BATCH = 16
+    c.SOLVER.BASE_LR = 0.02
+    c.SOLVER.MOMENTUM = 0.9
+    c.SOLVER.WEIGHT_DECAY = 0.0001
+    c.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    c.SOLVER.GAMMA = 0.1
+    c.SOLVER.STEPS = (60000, 80000)
+    c.SOLVER.MAX_ITER = 90000
+    c.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    c.SOLVER.WARMUP_ITERS = 1000
+    c.SOLVER.WARMUP_METHOD = "linear"
+    c.SOLVER.CHECKPOINT_PERIOD = 5000
+    c.SOLVER.CLIP_GRADIENTS = CfgNode(
+        {"ENABLED": False, "CLIP_TYPE": "value", "CLIP_VALUE": 1.0,
+         "NORM_TYPE": 2.0})
+    c.SOLVER.AMP = CfgNode({"ENABLED": True})  # bf16 compute on TPU
+
+    c.TEST = CfgNode()
+    c.TEST.DETECTIONS_PER_IMAGE = 100
+    c.TEST.EVAL_PERIOD = 0
+
+    # TPU / parallelism knobs (no detectron2 equivalent)
+    c.TPU = CfgNode()
+    c.TPU.MESH_SHAPE = None          # e.g. [8] for 8-way data parallel
+    c.TPU.MESH_AXES = ("data",)
+    c.TPU.USE_PALLAS = True          # pallas kernels where available
+    c.TPU.COMPUTE_DTYPE = "bfloat16"
+
+    return c
+
+
+def model_zoo_get_config_file(name: str) -> str:
+    """detectron2.model_zoo.get_config_file equivalent: returns the name;
+    merge_from_file understands model-zoo names directly."""
+    return name

@@ -1,0 +1,29 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the standard JAX recipe for testing multi-chip sharding without TPU
+hardware (SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+Must run before jax is imported anywhere.
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE = Path("/root/reference")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE.exists():
+        pytest.skip("reference tree not available")
+    return REFERENCE

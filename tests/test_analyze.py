@@ -1,0 +1,138 @@
+"""Matcher/scoring tests, anchored by the reference's inline self-test
+vectors (reference analyze.py:702-728)."""
+import numpy as np
+import pytest
+
+from ampis_tpu import analyze
+from ampis_tpu import rle
+from ampis_tpu.structures import InstanceSet, Instances, RLEMasks
+
+
+@pytest.fixture(scope="module")
+def corner_masks():
+    """4 2x2 masks in the corners of a 4x4 grid (reference golden test)."""
+    def enc(a):
+        return rle.encode(np.asfortranarray(np.array(a, np.uint8)))
+    m1 = enc([[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]])
+    m2 = enc([[0, 0, 1, 1], [0, 0, 1, 1], [0, 0, 0, 0], [0, 0, 0, 0]])
+    m3 = enc([[0, 0, 0, 0], [0, 0, 0, 0], [1, 1, 0, 0], [1, 1, 0, 0]])
+    m4 = enc([[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 1, 1], [0, 0, 1, 1]])
+    return m1, m2, m3, m4
+
+
+def test_piecewise_iou_golden(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    gt = [m1, m2, m3, m4]
+    pred = [m3, m2, m4]
+    assert np.all(analyze._piecewise_iou(gt, pred) == np.array(
+        [[0, 0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1]]))
+
+
+def test_piecewise_rle_match_golden(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    gt = [m1, m2, m3, m4]
+    pred = [m3, m2, m4]
+    match = analyze._piecewise_rle_match(gt, pred)
+    assert np.all(match['tp'] == np.array([[1, 1], [2, 0], [3, 2]]))
+    assert np.all(match['fn'] == np.array([0]))
+    assert match['fp'].size == 0
+    assert np.all(match['iou'] == np.ones(3))
+
+
+def test_piecewise_iou_tiling_equivalence():
+    """Tiled path (interval < n) must equal one-shot batched IoU."""
+    rs = np.random.RandomState(0)
+    masks = np.zeros((32, 32, 25), np.uint8, order="F")
+    for i in range(25):
+        r, c = rs.randint(0, 24, 2)
+        masks[r:r + 8, c:c + 8, i] = 1
+    rles = rle.encode(masks)
+    a, b = rles[:15], rles[10:]
+    tiled = analyze._piecewise_iou(a, b, interval=4)
+    oneshot = rle.iou(b, a, np.zeros(len(a), bool)).T
+    np.testing.assert_allclose(tiled, oneshot)
+
+
+def test_det_seg_scores_perfect_match(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    out = analyze.det_seg_scores([m1, m2, m3, m4], [m4, m3, m2, m1])
+    assert out['det_precision'] == 1.0
+    assert out['det_recall'] == 1.0
+    assert np.all(out['seg_precision'] == 1.0)
+    assert np.all(out['seg_recall'] == 1.0)
+    assert np.all(out['seg_tp'] == 4)
+    assert np.all(out['seg_fp'] == 0)
+
+
+def test_det_seg_scores_partial(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    out = analyze.det_seg_scores([m1, m2, m3, m4], [m2, m3])
+    assert out['det_precision'] == 1.0
+    assert out['det_recall'] == 0.5
+    assert sorted(out['det_fn'].tolist()) == [0, 3]
+
+
+def test_align_instance_sets():
+    a = [InstanceSet(filepath=f"/x/im{i}.png") for i in (0, 1, 2)]
+    b = [InstanceSet(filepath=f"/y/im{i}.png") for i in (2, 0)]
+    ao, bo = analyze.align_instance_sets(a, b)
+    assert [x.filepath for x in ao] == ["/x/im0.png", "/x/im2.png"]
+    assert [x.filepath for x in bo] == ["/y/im0.png", "/y/im2.png"]
+
+
+def test_merge_boxes():
+    out = analyze.merge_boxes(np.array([1, 5, 2, 6]), np.array([0, 4, 3, 8]))
+    assert list(out) == [0, 5, 2, 8]
+
+
+def test_min_euclid():
+    a = np.array([[0, 0], [3, 4]])
+    b = np.array([[0, 1], [3, 0]])
+    d = analyze._min_euclid(a, b)
+    np.testing.assert_allclose(d, [1.0, 4.0])
+
+
+def test_mask_edge_distance(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    matches = np.array([[0, 0]])
+    # identical masks: no FP/FN pixels
+    fp, fn = analyze.mask_edge_distance(
+        [m1], [m1], np.array([[0, 2, 0, 2]]), np.array([[0, 2, 0, 2]]),
+        matches)
+    assert fp[0].size == 0 and fn[0].size == 0
+    # disjoint masks (m1 vs m2): every pixel is FP and FN
+    fp, fn = analyze.mask_edge_distance(
+        [m1], [m2], np.array([[0, 2, 0, 2]]), np.array([[0, 2, 2, 4]]),
+        matches)
+    assert fp[0].size == 4 and fn[0].size == 4
+    assert fp[0].min() >= 1.0
+
+
+def _iset_from_rles(rles, size=(4, 4)):
+    iset = InstanceSet(randomstate=0)
+    boxes = rle.toBbox(rles)
+    boxes = np.stack([boxes[:, 0], boxes[:, 1], boxes[:, 0] + boxes[:, 2],
+                      boxes[:, 1] + boxes[:, 3]], axis=1)
+    iset.instances = Instances(size, masks=RLEMasks(list(rles)), boxes=boxes)
+    return iset
+
+
+def test_det_perf_iset(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    gt = _iset_from_rles([m1, m2, m3, m4])
+    pred = _iset_from_rles([m3, m2])
+    iset, colormap = analyze.det_perf_iset(gt, pred)
+    # 2 tp + 0 fp + 2 fn
+    assert len(iset.instances) == 4
+    colors = iset.instances.colors
+    assert np.array_equal(colors[0], colormap['TP'])
+    assert np.array_equal(colors[-1], colormap['FN'])
+
+
+def test_seg_perf_iset(corner_masks):
+    m1, m2, m3, m4 = corner_masks
+    iset, colors = analyze.seg_perf_iset([m1, m2], [m2, m1], mode='reduced')
+    assert len(iset.instances) == 4
+    # perfect matches: all matched pixels are TP
+    tp_mask = rle.decode(iset.instances.masks.rle[0]).astype(bool)
+    assert tp_mask.sum() == 8
