@@ -1,2 +1,13 @@
 from .catalog import DatasetCatalog, MetadataCatalog  # noqa: F401
 from .config import CfgNode, get_cfg  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: these pull in jax/flax/optax
+    if name == "DefaultPredictor":
+        from .predictor import DefaultPredictor
+        return DefaultPredictor
+    if name == "Trainer":
+        from .trainer import Trainer
+        return Trainer
+    raise AttributeError(name)

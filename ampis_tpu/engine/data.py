@@ -1,0 +1,167 @@
+"""Host-side detection data loading for training and validation.
+
+Replaces detectron2's DatasetMapper + detection loaders that the reference
+wires into its trainer (reference data_utils.py:171-175, call stack
+SURVEY.md §3.2). Design for TPU static shapes:
+
+* one fixed canvas per loader (max resize target over the scale-jitter
+  range, rounded to /32) — every batch compiles against a single program;
+* GT instances padded to a fixed MAX_GT with validity masks;
+* GT polygon masks are rasterized at the *resized* scale by the C++ COCO
+  rasterizer (coordinates scaled host-side), RLE bitmask GT is decoded and
+  resampled — either way the device receives a dense (G, Hc, Wc) uint8
+  stack ready for in-graph mask-target cropping;
+* images ship as raw uint8; resize + normalize + pad run inside the jitted
+  step (fused into the XLA graph).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import rle as RLE
+from ..input.transforms import get_resize_shape, pad_to_canvas_shape
+from ..structures import BoxMode
+from ..utils.io import imread_bgr
+from .catalog import DatasetCatalog
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class DetectionLoader:
+    """Iterable of fixed-shape training/validation batches."""
+
+    def __init__(self, ddicts, cfg, train: bool, batch_size: int = None,
+                 seed: int = 0, max_gt: int = None):
+        self.ddicts = list(ddicts)
+        self.cfg = cfg
+        self.train = train
+        self.batch_size = batch_size or (cfg.SOLVER.IMS_PER_BATCH if train
+                                         else 1)
+        self.rng = np.random.RandomState(seed)
+        if train:
+            sizes = cfg.INPUT.MIN_SIZE_TRAIN
+            self.min_sizes = [sizes] if isinstance(sizes, int) \
+                else list(sizes)
+            self.max_size = cfg.INPUT.MAX_SIZE_TRAIN
+        else:
+            self.min_sizes = [cfg.INPUT.MIN_SIZE_TEST]
+            self.max_size = cfg.INPUT.MAX_SIZE_TEST
+        self.flip = train and cfg.INPUT.RANDOM_FLIP == "horizontal"
+
+        # static shapes: canvas covers the largest resize target
+        canvases = []
+        for d in self.ddicts:
+            for ms in self.min_sizes:
+                canvases.append(pad_to_canvas_shape(
+                    *get_resize_shape(d["height"], d["width"], ms,
+                                      self.max_size),
+                    fixed=cfg.INPUT.FIXED_SIZE))
+        self.canvas = (max(c[0] for c in canvases),
+                       max(c[1] for c in canvases))
+        n_inst = max((d.get("num_instances", 0) for d in self.ddicts),
+                     default=1)
+        self.max_gt = max_gt or max(_round_up(max(n_inst, 1), 16), 16)
+
+    def __len__(self):
+        return len(self.ddicts)
+
+    def _load_one(self, ddict, min_size):
+        img = imread_bgr(ddict["file_name"])
+        h0, w0 = img.shape[:2]
+        new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
+        sy = new_shape[0] / h0
+        sx = new_shape[1] / w0
+
+        annos = ddict.get("annotations", [])
+        g = self.max_gt
+        boxes = np.zeros((g, 4), np.float32)
+        classes = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        masks = np.zeros((g,) + self.canvas, np.uint8)
+
+        n = min(len(annos), g)
+        for i, a in enumerate(annos[:n]):
+            bbox = np.asarray(a["bbox"], np.float64)
+            if a.get("bbox_mode", BoxMode.XYXY_ABS) == BoxMode.XYWH_ABS:
+                bbox = np.asarray(
+                    [bbox[0], bbox[1], bbox[0] + bbox[2], bbox[1] + bbox[3]])
+            boxes[i] = bbox * np.asarray([sx, sy, sx, sy])
+            classes[i] = a["category_id"]
+            valid[i] = True
+            seg = a["segmentation"]
+            if isinstance(seg, dict):  # RLE at original resolution
+                dense = RLE.decode(seg).astype(np.float32)
+                from PIL import Image
+                m = np.asarray(Image.fromarray(dense).resize(
+                    (new_shape[1], new_shape[0]), Image.BILINEAR))
+                masks[i, :new_shape[0], :new_shape[1]] = m >= 0.5
+            else:  # polygons: scale coords, rasterize at resized scale
+                polys = []
+                for p in seg:
+                    p = np.asarray(p, np.float64).copy()
+                    p[0::2] *= sx
+                    p[1::2] *= sy
+                    polys.append(p.tolist())
+                rles = RLE.frPyObjects(polys, new_shape[0], new_shape[1])
+                merged = RLE.merge(rles) if len(rles) > 1 else rles[0]
+                masks[i, :new_shape[0], :new_shape[1]] = RLE.decode(merged)
+
+        if self.flip and self.rng.rand() < 0.5:
+            img = img[:, ::-1].copy()
+            x0 = boxes[:n, 0].copy()
+            x1 = boxes[:n, 2].copy()
+            boxes[:n, 0] = new_shape[1] - x1
+            boxes[:n, 2] = new_shape[1] - x0
+            masks[:n, :, :new_shape[1]] = \
+                masks[:n, :, :new_shape[1]][:, :, ::-1]
+
+        return img, new_shape, boxes, classes, valid, masks
+
+    def _make_batch(self, indices, min_size):
+        imgs, boxes, classes, valids, masks = [], [], [], [], []
+        new_shape = None
+        for idx in indices:
+            img, ns, b, c, v, m = self._load_one(self.ddicts[idx], min_size)
+            new_shape = ns
+            imgs.append(img)
+            boxes.append(b)
+            classes.append(c)
+            valids.append(v)
+            masks.append(m)
+        return {
+            "images": np.stack(imgs),
+            "new_shape": new_shape,
+            "canvas": self.canvas,
+            "gt_boxes": np.stack(boxes),
+            "gt_classes": np.stack(classes),
+            "gt_valid": np.stack(valids),
+            "gt_masks": np.stack(masks),
+        }
+
+    def __iter__(self):
+        """Validation-style single pass, batch size self.batch_size."""
+        order = np.arange(len(self.ddicts))
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            idx = order[i:i + bs]
+            if len(idx) < bs:
+                idx = np.concatenate(
+                    [idx, order[:bs - len(idx)]])  # wrap to keep shape
+            yield self._make_batch(idx, self.min_sizes[0])
+
+    def infinite(self):
+        """Training stream: shuffled epochs, per-batch scale jitter."""
+        while True:
+            order = self.rng.permutation(len(self.ddicts))
+            bs = self.batch_size
+            for i in range(0, len(order) - bs + 1, bs):
+                min_size = self.min_sizes[
+                    self.rng.randint(len(self.min_sizes))]
+                yield self._make_batch(order[i:i + bs], min_size)
+
+
+def loader_from_config(cfg, dataset_name, train: bool, **kwargs):
+    ddicts = DatasetCatalog.get(dataset_name)
+    return DetectionLoader(ddicts, cfg, train=train, **kwargs)

@@ -1,0 +1,101 @@
+"""Single/batched-image inference driver (detectron2 DefaultPredictor
+replacement; reference call stack SURVEY.md §3.3).
+
+Takes cv2-convention BGR uint8 images, resizes shortest-edge in-graph,
+runs the jitted Mask R-CNN, and returns a detectron2-shaped output
+``{'instances': Instances(pred_boxes, scores, pred_classes, pred_masks)}``
+with ``pred_masks`` as lazy SoftMasks (28x28 soft masks + boxes; the fused
+host C++ paste+RLE kicks in on consumption, e.g. in
+data_utils.compress_pred).
+
+Compilation is cached per (raw image shape -> canvas) pair; datasets with a
+single image size compile exactly one program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..input.transforms import (get_resize_shape, pad_to_canvas_shape,
+                                preprocess_image)
+from ..models.mask_rcnn import MaskRCNN, build_model, init_params
+from ..structures import Instances, SoftMasks
+from .checkpoint import load_weights
+
+
+class DefaultPredictor:
+    """predictor = DefaultPredictor(cfg); outputs = predictor(bgr_image)."""
+
+    def __init__(self, cfg, params=None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        if params is None:
+            if cfg.MODEL.WEIGHTS:
+                params = load_weights(cfg.MODEL.WEIGHTS, self.model)
+            else:
+                params = init_params(self.model, jax.random.PRNGKey(0))
+        self.params = params
+        self.input_format = cfg.INPUT.FORMAT
+        self._compiled = {}
+
+    # -- jitted core --------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"))
+    def _run(self, images, new_shape, canvas):
+        mean = tuple(self.cfg.MODEL.PIXEL_MEAN)
+        std = tuple(self.cfg.MODEL.PIXEL_STD)
+
+        def prep(img):
+            return preprocess_image(img, new_shape, canvas, mean, std)
+
+        batch = jax.vmap(prep)(images)
+        sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                         (images.shape[0], 1))
+        return self.model.apply(self.params, batch, sizes,
+                                method=MaskRCNN.inference)
+
+    def __hash__(self):  # allow self as static arg
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    # -- public API ---------------------------------------------------------
+
+    def __call__(self, original_image: np.ndarray):
+        return self.predict_batch([original_image])[0]
+
+    def predict_batch(self, images):
+        """Run inference on a list of same-shape BGR uint8 images."""
+        raw = np.stack([np.ascontiguousarray(im) for im in images])
+        if raw.ndim == 3:
+            raw = raw[..., None]
+        h0, w0 = raw.shape[1:3]
+        new_shape = get_resize_shape(h0, w0, self.cfg.INPUT.MIN_SIZE_TEST,
+                                     self.cfg.INPUT.MAX_SIZE_TEST)
+        canvas = pad_to_canvas_shape(*new_shape,
+                                     fixed=self.cfg.INPUT.FIXED_SIZE)
+        out = self._run(jnp.asarray(raw), new_shape, canvas)
+        out = jax.tree.map(np.asarray, out)
+
+        sy = h0 / new_shape[0]
+        sx = w0 / new_shape[1]
+        results = []
+        for i in range(raw.shape[0]):
+            valid = out["valid"][i]
+            boxes = out["boxes"][i][valid]
+            # back to original image coordinates
+            boxes = boxes * np.asarray([sx, sy, sx, sy], np.float32)
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w0)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h0)
+            scores = out["scores"][i][valid]
+            classes = out["classes"][i][valid].astype(np.int64)
+            masks = SoftMasks(out["masks"][i][valid], boxes, (h0, w0))
+            inst = Instances((h0, w0), pred_boxes=boxes.astype(np.float32),
+                             scores=scores.astype(np.float32),
+                             pred_classes=classes, pred_masks=masks)
+            results.append({"instances": inst})
+        return results

@@ -1,0 +1,264 @@
+"""Training engine: jitted SGD loop with hooks, schedule, and checkpoints.
+
+Replaces detectron2's DefaultTrainer that the reference subclasses
+(reference data_utils.py:135-177; call stack SURVEY.md §3.2): SGD momentum
+with linear warmup + multistep decay, backbone freezing (FREEZE_AT), hook
+protocol (used by ampis_tpu.data_utils.LossEvalHook for validation loss,
+mirroring the reference's LossEvalHook at data_utils.py:37-132), periodic
+orbax checkpoints, and EventStorage metrics.
+
+TPU design: ONE compiled train-step family per (canvas, batch) shape —
+resize/normalize/pad run in-graph; the loss path and the validation-loss
+path (train-mode losses on val data, the reference's hard part #5 in
+SURVEY.md §7) share the same compiled loss function. Data parallelism:
+batch sharded over a 1-D 'data' mesh, params replicated; XLA inserts the
+gradient all-reduce (ampis_tpu.parallel).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..input.transforms import preprocess_image
+from ..models.mask_rcnn import MaskRCNN, build_model, init_params
+from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
+from .checkpoint import (latest_checkpoint, load_weights, restore_checkpoint,
+                         save_checkpoint)
+from .data import loader_from_config
+from .events import EventStorage
+
+LOSS_KEYS = ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
+             "loss_mask")
+
+
+def build_lr_schedule(cfg):
+    """Linear warmup + multistep gamma decay (detectron2 WarmupMultiStepLR)."""
+    base = cfg.SOLVER.BASE_LR
+    steps = sorted(cfg.SOLVER.STEPS)
+    gamma = cfg.SOLVER.GAMMA
+    warmup_iters = cfg.SOLVER.WARMUP_ITERS
+    warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+        warmup = warmup_factor * (1 - alpha) + alpha
+        decay = jnp.asarray(1.0)
+        for s in steps:
+            decay = decay * jnp.where(step >= s, gamma, 1.0)
+        return base * warmup * decay
+
+    return schedule
+
+
+def trainable_mask(params, freeze_at=2):
+    """False for frozen leaves: FrozenBN stats always; stem/res2 at
+    freeze_at>=1/2 (detectron2 BACKBONE.FREEZE_AT semantics)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if "norm" in path:
+            return False
+        if freeze_at >= 1 and "stem" in path:
+            return False
+        if freeze_at >= 2 and any(p.startswith("res2") for p in path):
+            return False
+        return True
+
+    return walk(params, ())
+
+
+class Trainer:
+    """trainer = Trainer(cfg); trainer.resume_or_load(); trainer.train()."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.iter = 0
+        self.storage = EventStorage(cfg.OUTPUT_DIR)
+        self._hooks = []
+        self._rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+
+        # params
+        if cfg.MODEL.WEIGHTS:
+            self.params = load_weights(cfg.MODEL.WEIGHTS, self.model)
+        else:
+            self.params = init_params(self.model, jax.random.PRNGKey(0))
+
+        # optimizer: SGD momentum + weight decay; frozen params (FrozenBN
+        # stats, stem/res2 per FREEZE_AT) get zero updates
+        self.schedule = build_lr_schedule(cfg)
+        mask = trainable_mask(self.params,
+                              freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
+        self._mask = mask
+        labels = jax.tree.map(
+            lambda t: "trainable" if t else "frozen", mask)
+        sgd = optax.chain(
+            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY),
+            optax.sgd(self.schedule, momentum=cfg.SOLVER.MOMENTUM))
+        if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+            clip = (optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+                    if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value"
+                    else optax.clip_by_global_norm(
+                        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+            sgd = optax.chain(clip, sgd)
+        self.tx = optax.multi_transform(
+            {"trainable": sgd, "frozen": optax.set_to_zero()}, labels)
+        self.opt_state = self.tx.init(self.params)
+
+        # data
+        self.train_loader = (
+            loader_from_config(cfg, cfg.DATASETS.TRAIN[0], train=True)
+            if cfg.DATASETS.TRAIN else None)
+
+        # mesh (data parallelism) when multiple devices are available and
+        # batch divides evenly
+        n_dev = len(jax.devices())
+        bs = cfg.SOLVER.IMS_PER_BATCH
+        if cfg.TPU.MESH_SHAPE:
+            n_mesh = int(np.prod(cfg.TPU.MESH_SHAPE))
+        else:
+            n_mesh = n_dev if bs % max(n_dev, 1) == 0 and n_dev > 1 else 1
+        self.mesh = data_parallel_mesh(n_mesh) if n_mesh > 1 else None
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+
+    # ------------------------------------------------------------------ API
+
+    def register_hook(self, hook, index=None):
+        hook.trainer = self
+        if index is None:
+            self._hooks.append(hook)
+        else:
+            self._hooks.insert(index, hook)
+
+    def build_val_loader(self, dataset_name):
+        return loader_from_config(self.cfg, dataset_name, train=False)
+
+    def resume_or_load(self, resume=True):
+        if resume:
+            ckpt = latest_checkpoint(self.cfg.OUTPUT_DIR)
+            if ckpt is not None:
+                state = restore_checkpoint(
+                    ckpt, target={"params": self.params,
+                                  "opt_state": self.opt_state,
+                                  "step": 0})
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                self.iter = int(state["step"])
+                self.storage.iter = self.iter
+        return self
+
+    # ----------------------------------------------------------- jit steps
+
+    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"))
+    def _loss_fn(self, params, images, gt_boxes, gt_classes, gt_valid,
+                 gt_masks, rng, new_shape, canvas):
+        mean = tuple(self.cfg.MODEL.PIXEL_MEAN)
+        std = tuple(self.cfg.MODEL.PIXEL_STD)
+        batch = jax.vmap(
+            lambda im: preprocess_image(im, new_shape, canvas, mean, std)
+        )(images)
+        sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                         (images.shape[0], 1))
+        losses = self.model.apply(params, batch, sizes, gt_boxes, gt_classes,
+                                  gt_valid, gt_masks, rng,
+                                  method=MaskRCNN.losses)
+        return sum(losses.values()), losses
+
+    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"),
+             donate_argnames=("params", "opt_state"))
+    def _train_step(self, params, opt_state, images, gt_boxes, gt_classes,
+                    gt_valid, gt_masks, rng, new_shape, canvas):
+        grad_fn = jax.value_and_grad(
+            lambda p: self._loss_fn(p, images, gt_boxes, gt_classes,
+                                    gt_valid, gt_masks, rng, new_shape,
+                                    canvas), has_aux=True)
+        (total, losses), grads = grad_fn(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, losses
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    # ------------------------------------------------------------ run loop
+
+    def _device_batch(self, batch):
+        arrays = {k: batch[k] for k in
+                  ("images", "gt_boxes", "gt_classes", "gt_valid",
+                   "gt_masks")}
+        if self.mesh is not None:
+            arrays = shard_batch(arrays, self.mesh)
+        return arrays
+
+    def run_step(self, batch):
+        self._rng, rng = jax.random.split(self._rng)
+        arrays = self._device_batch(batch)
+        self.params, self.opt_state, total, losses = self._train_step(
+            self.params, self.opt_state, arrays["images"],
+            arrays["gt_boxes"], arrays["gt_classes"], arrays["gt_valid"],
+            arrays["gt_masks"], rng, tuple(batch["new_shape"]),
+            tuple(batch["canvas"]))
+        return total, losses
+
+    def train(self, start_iter=None, max_iter=None):
+        start = self.iter if start_iter is None else start_iter
+        end = self.max_iter if max_iter is None else max_iter
+        it = self.train_loader.infinite()
+        t_last = time.time()
+        for self.iter in range(start, end):
+            self.storage.iter = self.iter
+            batch = next(it)
+            total, losses = self.run_step(batch)
+            total = float(total)
+            self.storage.put_scalar("total_loss", total)
+            for k, v in losses.items():
+                self.storage.put_scalar(k, float(v))
+            self.storage.put_scalar("lr", float(self.schedule(self.iter)))
+            now = time.time()
+            self.storage.put_scalar("time", now - t_last)
+            t_last = now
+            for h in self._hooks:
+                h.after_step()
+            next_iter = self.iter + 1
+            if (next_iter % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                    or next_iter == end):
+                self.save(next_iter)
+            self.storage.write()
+        self.iter = end
+        return self
+
+    def save(self, step=None):
+        step = self.iter + 1 if step is None else step
+        path = Path(self.cfg.OUTPUT_DIR) / f"ckpt_{step}"
+        save_checkpoint(path, {"params": jax.device_get(self.params),
+                               "opt_state": jax.device_get(self.opt_state),
+                               "step": step})
+        return path
+
+    # ----------------------------------------------- validation loss (hook)
+
+    def eval_loss(self, batch):
+        """Train-mode loss dict on a validation batch (LossEvalHook)."""
+        self._rng, rng = jax.random.split(self._rng)
+        arrays = {k: jnp.asarray(batch[k]) for k in
+                  ("images", "gt_boxes", "gt_classes", "gt_valid",
+                   "gt_masks")}
+        _, losses = self._loss_fn(
+            self.params, arrays["images"], arrays["gt_boxes"],
+            arrays["gt_classes"], arrays["gt_valid"], arrays["gt_masks"],
+            rng, tuple(batch["new_shape"]), tuple(batch["canvas"]))
+        return {k: float(v) for k, v in losses.items()}

@@ -1,0 +1,81 @@
+"""Shared NN layers for the TPU Mask R-CNN.
+
+NHWC layout throughout (TPU-native). Convolutions use explicit symmetric
+padding to match the reference model's torch semantics (torch pads
+symmetrically; XLA 'SAME' pads asymmetrically for stride > 1, which would
+shift every downsampling feature map half a pixel and break checkpoint
+parity).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import jax
+
+
+class FrozenBN(nn.Module):
+    """Frozen batch norm folded to a per-channel scale + bias.
+
+    The reference backbone uses FrozenBatchNorm2d everywhere (detectron2
+    R50 default, SURVEY.md §2b). The d2-pkl converter folds
+    gamma/beta/mean/var into (scale, bias). From-scratch init uses
+    ``init_scale``: residual blocks zero-init their last norm's scale (the
+    standard zero-gamma recipe) so an untrained backbone doesn't amplify
+    activations exponentially with depth.
+    """
+    features: int
+    init_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale",
+                           nn.initializers.constant(self.init_scale),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class Conv(nn.Module):
+    """Conv2D with torch-style symmetric padding, NHWC, optional norm+relu."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    use_bias: bool = True
+    norm: bool = False
+    norm_init_scale: float = 1.0
+    activation: Optional[Callable] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if self.padding is not None else self.kernel // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        if self.norm:
+            x = FrozenBN(self.features, init_scale=self.norm_init_scale,
+                         dtype=self.dtype, name="norm")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) in NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def max_pool_1x1_s2(x):
+    """Stride-2 subsample (detectron2's P6 from P5: MaxPool k1 s2)."""
+    return x[:, ::2, ::2, :]

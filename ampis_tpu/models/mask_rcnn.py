@@ -1,0 +1,334 @@
+"""Mask R-CNN (GeneralizedRCNN): R50-FPN backbone + RPN + ROI heads.
+
+The flagship model: a from-scratch JAX/Flax rebuild of the network the
+reference uses through detectron2 ('COCO-InstanceSegmentation/
+mask_rcnn_R_50_FPN_3x.yaml', SURVEY.md §2b call stacks §3.2-3.3), designed
+for TPU:
+
+* NHWC, bf16 compute / fp32 params (configurable);
+* every post-backbone stage is fixed-shape with validity masks — proposal
+  count, detection count, and RoI batch never depend on data;
+* RoIAlign over all images and FPN levels is ONE fused gather + ONE head
+  call (B*K RoIs hit the MXU together);
+* inference returns (boxes, scores, classes, 28x28 soft masks, valid) —
+  full-resolution mask pasting + RLE encoding happens on host in C++
+  (csrc/rle.cpp paste_masks_encode), so device->host traffic is ~KB per
+  image instead of the reference's N x H x W bitmask stack.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import box_ops
+from ..ops.roi_align import (assign_levels, crop_and_resize_masks,
+                             multilevel_roi_align)
+from .anchors import multilevel_anchors
+from .fpn import FPN
+from .resnet import ResNet
+from .roi_heads import (BoxHead, MaskHead, box_head_losses,
+                        fast_rcnn_inference, mask_head_loss,
+                        sample_proposals)
+from .rpn import RPNHead, rpn_losses, select_proposals
+
+RPN_FEATURES = ("p2", "p3", "p4", "p5", "p6")
+BOX_FEATURES = ("p2", "p3", "p4", "p5")
+FPN_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+
+
+class MaskRCNN(nn.Module):
+    """GeneralizedRCNN with a config bag of detectron2-compatible knobs."""
+    num_classes: int = 1
+    # anchors
+    anchor_sizes: Sequence[Sequence[float]] = (
+        (32,), (64,), (128,), (256,), (512,))
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    # rpn
+    pre_nms_topk_train: int = 2000
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_train: int = 1000
+    post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    # roi heads
+    box_pooler_resolution: int = 7
+    mask_pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 0
+    pooler_max_sr: int = 2
+    roi_batch_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_iou_thresh: float = 0.5
+    bbox_reg_weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0)
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_image: int = 100
+    mask_rois_per_image: int = 128
+    # backbone
+    depth: int = 50
+    dtype: Any = jnp.float32
+    roi_chunk: int = 256
+
+    def setup(self):
+        self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
+                                   name="backbone")
+        self.fpn = FPN(dtype=self.dtype, name="fpn")
+        self.rpn_head = RPNHead(num_anchors=len(self.anchor_ratios),
+                                dtype=self.dtype, name="rpn")
+        self.box_head = BoxHead(num_classes=self.num_classes,
+                                dtype=self.dtype, name="box_head")
+        self.mask_head = MaskHead(num_classes=self.num_classes,
+                                  dtype=self.dtype, name="mask_head")
+
+    # -- shared stages ------------------------------------------------------
+
+    def backbone(self, images):
+        """(B, H, W, 3) normalized float -> dict of p2..p6 NHWC features."""
+        return self.fpn(self.backbone_net(images.astype(self.dtype)))
+
+    def _anchors(self, feats):
+        shapes = [feats[f].shape[1:3] for f in RPN_FEATURES]
+        strides = [FPN_STRIDES[f] for f in RPN_FEATURES]
+        return [jnp.asarray(a) for a in multilevel_anchors(
+            shapes, strides, self.anchor_sizes, self.anchor_ratios)]
+
+    def _rpn(self, feats):
+        logits, deltas = self.rpn_head([feats[f] for f in RPN_FEATURES])
+        return logits, deltas
+
+    def _propose(self, logits, deltas, anchors, image_sizes, train: bool):
+        pre = self.pre_nms_topk_train if train else self.pre_nms_topk_test
+        post = self.post_nms_topk_train if train else self.post_nms_topk_test
+
+        def one(lg, dl, size):
+            return select_proposals(list(lg), list(dl), anchors, size,
+                                    pre_nms_topk=pre, post_nms_topk=post,
+                                    nms_thresh=self.rpn_nms_thresh)
+
+        return jax.vmap(one)(tuple(logits), tuple(deltas), image_sizes)
+
+    def _pool(self, feats, boxes, valid, resolution):
+        """RoIAlign (B, K, 4) boxes over batched FPN levels -> (B*K, P, P, C).
+
+        One gather for the whole batch: per-image level lists are
+        concatenated and the level index encodes (image, fpn_level).
+        """
+        b, k = boxes.shape[:2]
+        n_lvl = len(BOX_FEATURES)
+        feature_list = [feats[f][i] for i in range(b) for f in BOX_FEATURES]
+        strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES) * b
+        flat_boxes = boxes.reshape(-1, 4)
+        # keep gather indices in-range for padding rows
+        flat_boxes = jnp.where(valid.reshape(-1, 1), flat_boxes, 0.0)
+        levels = assign_levels(flat_boxes)
+        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        entries = img_idx * n_lvl + levels
+        return multilevel_roi_align(
+            feature_list, flat_boxes, entries, strides=strides,
+            output_size=resolution, max_sr=self.pooler_max_sr,
+            sampling_ratio=self.pooler_sampling_ratio, chunk=self.roi_chunk)
+
+    # -- inference ----------------------------------------------------------
+
+    def inference(self, images, image_sizes):
+        """Batched inference.
+
+        images: (B, H, W, 3) normalized float (see input.transforms);
+        image_sizes: (B, 2) float actual (h, w) extents within the canvas.
+        Returns dict: boxes (B, D, 4) in resized coords, scores (B, D),
+        classes (B, D) int32, masks (B, D, 2P, 2P) sigmoid probabilities for
+        the predicted class, valid (B, D).
+        """
+        b = images.shape[0]
+        feats = self.backbone(images)
+        logits, deltas = self._rpn(feats)
+        anchors = self._anchors(feats)
+        proposals, _, prop_valid = self._propose(
+            logits, deltas, anchors, image_sizes, train=False)
+        k = proposals.shape[1]
+
+        pooled = self._pool(feats, proposals, prop_valid,
+                            self.box_pooler_resolution)
+        cls_logits, box_deltas = self.box_head(pooled)     # (B*K, C+1/C*4)
+        probs = jax.nn.softmax(cls_logits, axis=-1).reshape(
+            b, k, self.num_classes + 1)
+        reg_boxes = box_ops.apply_deltas(
+            box_deltas, proposals.reshape(-1, 4),
+            tuple(self.bbox_reg_weights)).reshape(
+                b, k, self.num_classes, 4)
+
+        def one(boxes_pc, scores, pv, size):
+            return fast_rcnn_inference(
+                boxes_pc, scores, pv, size,
+                score_thresh=self.score_thresh, nms_thresh=self.nms_thresh,
+                topk_per_image=self.detections_per_image)
+
+        dets = jax.vmap(one)(reg_boxes, probs, prop_valid, image_sizes)
+
+        d = dets["boxes"].shape[1]
+        mask_pooled = self._pool(feats, dets["boxes"], dets["valid"],
+                                 self.mask_pooler_resolution)
+        mask_logits = self.mask_head(mask_pooled)          # (B*D, 2P, 2P, C)
+        mp = mask_logits.shape[1]
+        cls = jnp.clip(dets["classes"].reshape(-1), 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(
+            mask_logits, cls[:, None, None, None], axis=3)[..., 0]
+        masks = jax.nn.sigmoid(sel).reshape(b, d, mp, mp)
+
+        return {"boxes": dets["boxes"], "scores": dets["scores"],
+                "classes": dets["classes"], "masks": masks,
+                "valid": dets["valid"]}
+
+    def __call__(self, images, image_sizes):
+        return self.inference(images, image_sizes)
+
+    # -- training -----------------------------------------------------------
+
+    def losses(self, images, image_sizes, gt_boxes, gt_classes, gt_valid,
+               gt_masks, rng):
+        """Training losses for a batch.
+
+        gt_boxes: (B, G, 4) XYXY in resized coords; gt_classes: (B, G);
+        gt_valid: (B, G) bool; gt_masks: (B, G, H, W) uint8 at the resized
+        canvas resolution. Returns the detectron2-named loss dict.
+        """
+        b = images.shape[0]
+        feats = self.backbone(images)
+        logits, deltas = self._rpn(feats)
+        anchors = self._anchors(feats)
+        anchors_cat = jnp.concatenate(anchors, axis=0)
+
+        rngs = jax.random.split(rng, b * 2).reshape(b, 2, -1)
+
+        # --- RPN losses (per image, vmapped) ---
+        def rpn_one(lg, dl, gtb, gtv, key):
+            return rpn_losses(
+                jnp.concatenate(list(lg)), jnp.concatenate(list(dl)),
+                anchors_cat, gtb, gtv, key,
+                batch_size_per_image=self.rpn_batch_per_image,
+                positive_fraction=self.rpn_positive_fraction)
+
+        rpn_loss = jax.vmap(rpn_one)(tuple(logits), tuple(deltas), gt_boxes,
+                                     gt_valid, rngs[:, 0])
+
+        # --- proposals + sampling ---
+        proposals, _, prop_valid = self._propose(
+            logits, deltas, anchors, image_sizes, train=True)
+        proposals = jax.lax.stop_gradient(proposals)
+
+        def sample_one(props, pv, gtb, gtc, gtv, key):
+            return sample_proposals(
+                props, pv, gtb, gtc, gtv, key,
+                batch_size_per_image=self.roi_batch_per_image,
+                positive_fraction=self.roi_positive_fraction,
+                iou_thresh=self.roi_iou_thresh,
+                num_classes=self.num_classes)
+
+        sampled = jax.vmap(sample_one)(proposals, prop_valid, gt_boxes,
+                                       gt_classes, gt_valid, rngs[:, 1])
+
+        # --- box head ---
+        s = self.roi_batch_per_image
+        pooled = self._pool(feats, sampled["boxes"], sampled["valid"],
+                            self.box_pooler_resolution)
+        cls_logits, box_deltas = self.box_head(pooled)
+
+        def box_loss_one(cl, bd, smp, gtb):
+            return box_head_losses(
+                cl, bd, smp, gtb,
+                bbox_reg_weights=tuple(self.bbox_reg_weights),
+                num_classes=self.num_classes)
+
+        box_loss = jax.vmap(box_loss_one)(
+            cls_logits.reshape(b, s, -1), box_deltas.reshape(b, s, -1),
+            sampled, gt_boxes)
+
+        # --- mask head on the foreground subset ---
+        m = min(self.mask_rois_per_image, s)
+
+        def fg_subset(smp):
+            prio = jnp.where(smp["is_fg"], 0.0, 1.0) \
+                + jnp.arange(s) * 1e-6
+            idx = jnp.argsort(prio)[:m]
+            return {
+                "boxes": smp["boxes"][idx],
+                "matched_gt": smp["matched_gt"][idx],
+                "classes": smp["classes"][idx],
+                "valid": smp["is_fg"][idx],
+            }
+
+        fg = jax.vmap(fg_subset)(sampled)
+        mask_pooled = self._pool(feats, fg["boxes"], fg["valid"],
+                                 self.mask_pooler_resolution)
+        mask_logits = self.mask_head(mask_pooled)
+        out_res = mask_logits.shape[1]
+
+        def targets_one(masks_g, boxes_m, idx_m):
+            t = crop_and_resize_masks(masks_g, boxes_m, idx_m,
+                                      output_size=out_res,
+                                      max_sr=self.pooler_max_sr)
+            return (t >= 0.5).astype(jnp.float32)
+
+        mask_targets = jax.vmap(targets_one)(
+            gt_masks, fg["boxes"], fg["matched_gt"])
+
+        def mask_loss_one(ml, mt, cls, val):
+            return mask_head_loss(ml, mt, cls, val)
+
+        loss_mask = jax.vmap(mask_loss_one)(
+            mask_logits.reshape(b, m, out_res, out_res, -1), mask_targets,
+            fg["classes"], fg["valid"])
+
+        return {
+            "loss_rpn_cls": jnp.mean(rpn_loss["loss_rpn_cls"]),
+            "loss_rpn_loc": jnp.mean(rpn_loss["loss_rpn_loc"]),
+            "loss_cls": jnp.mean(box_loss["loss_cls"]),
+            "loss_box_reg": jnp.mean(box_loss["loss_box_reg"]),
+            "loss_mask": jnp.mean(loss_mask),
+        }
+
+
+def build_model(cfg) -> MaskRCNN:
+    """Construct a MaskRCNN from a CfgNode (ampis_tpu.engine.config)."""
+    dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+             else jnp.float32)
+    return MaskRCNN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
+        anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        pre_nms_topk_train=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+        pre_nms_topk_test=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+        post_nms_topk_train=cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+        post_nms_topk_test=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        box_pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        roi_iou_thresh=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+        bbox_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        dtype=dtype,
+    )
+
+
+def init_params(model: MaskRCNN, rng, canvas=(64, 64)):
+    """Initialize parameters with a tiny dummy canvas (shape-independent)."""
+    images = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
+    sizes = jnp.asarray([[canvas[0], canvas[1]]], jnp.float32)
+    return jax.jit(lambda r: model.init(r, images, sizes,
+                                        method=MaskRCNN.inference))(rng)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

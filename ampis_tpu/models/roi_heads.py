@@ -1,0 +1,212 @@
+"""ROI heads: box head (2xFC), mask head (4 conv + deconv), inference
+filtering, and training-time sampling + losses.
+
+Reference model dependency (SURVEY.md §2b): StandardROIHeads with 7x7
+RoIAlignV2 box pooling on P2-P5, softmax classification (+background),
+class-specific box regression (weights 10/10/5/5), per-class NMS 0.5 at
+score threshold 0.05 capped at TEST.DETECTIONS_PER_IMAGE; 14x14 mask
+pooling and a 28x28 per-class sigmoid mask head. Training samples 512
+RoIs/image at 25% positive against IoU-0.5 matching with GT boxes appended
+to the proposals.
+
+TPU-first: fixed candidate/detection/RoI counts with validity masks;
+per-class candidates are flattened and pre-topk'd so the NMS matrix stays
+bounded regardless of NUM_CLASSES.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import box_ops
+from ..ops.nms import NEG_INF, batched_nms_mask
+from .rpn import optax_sigmoid_bce, subsample_labels
+
+
+class BoxHead(nn.Module):
+    """Flatten -> FC 1024 -> FC 1024 -> (cls score, box deltas)."""
+    num_classes: int
+    fc_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, P, P, C)
+        n = x.shape[0]
+        x = x.reshape(n, -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="fc2")(x))
+        scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="bbox_pred")(x)
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+class MaskHead(nn.Module):
+    """4x conv3x3(256) + relu -> deconv2x2/2 + relu -> 1x1 -> class masks."""
+    num_classes: int
+    conv_dim: int = 256
+    num_conv: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        for i in range(self.num_conv):
+            x = nn.relu(nn.Conv(self.conv_dim, (3, 3),
+                                padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name=f"mask_fcn{i + 1}")(x))
+        x = nn.relu(nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype,
+                                     param_dtype=jnp.float32,
+                                     name="deconv")(x))
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="predictor")(x)
+        return x.astype(jnp.float32)  # logits (N, 2P, 2P, C)
+
+
+# ---------------------------------------------------------------------------
+# inference
+# ---------------------------------------------------------------------------
+
+def fast_rcnn_inference(boxes_per_class, scores, proposal_valid, image_size,
+                        *, score_thresh, nms_thresh, topk_per_image,
+                        nms_candidates=1000):
+    """Filter + classwise NMS + top-k (fixed shapes).
+
+    boxes_per_class: (K, C, 4) class-specific regressed boxes;
+    scores: (K, C+1) softmax probabilities (background last).
+    Returns dict with (D,) arrays: boxes (D, 4), scores, classes, valid,
+    where D = topk_per_image.
+    """
+    k, c = scores.shape[0], scores.shape[1] - 1
+    fg_scores = scores[:, :c]                        # (K, C)
+    boxes = box_ops.clip_boxes(boxes_per_class, image_size)  # (K, C, 4)
+
+    flat_scores = fg_scores.reshape(-1)              # (K*C,)
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_class = jnp.tile(jnp.arange(c, dtype=jnp.int32), (k,))
+    flat_valid = (flat_scores > score_thresh) \
+        & jnp.repeat(proposal_valid, c)
+
+    # bound the NMS problem size
+    n_cand = min(nms_candidates, flat_scores.shape[0])
+    masked = jnp.where(flat_valid, flat_scores, NEG_INF)
+    cand_scores, cand_idx = jax.lax.top_k(masked, n_cand)
+    cand_boxes = flat_boxes[cand_idx]
+    cand_class = flat_class[cand_idx]
+    cand_valid = cand_scores > NEG_INF / 2
+
+    keep = batched_nms_mask(cand_boxes, cand_scores, cand_class, cand_valid,
+                            nms_thresh)
+    kept_scores = jnp.where(keep, cand_scores, NEG_INF)
+    d = min(topk_per_image, n_cand)
+    out_scores, out_idx = jax.lax.top_k(kept_scores, d)
+    out_valid = out_scores > NEG_INF / 2
+    return {
+        "boxes": cand_boxes[out_idx],
+        "scores": jnp.where(out_valid, out_scores, 0.0),
+        "classes": cand_class[out_idx],
+        "valid": out_valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# training: proposal sampling + losses
+# ---------------------------------------------------------------------------
+
+def sample_proposals(proposals, proposal_valid, gt_boxes, gt_classes,
+                     gt_valid, key, *, batch_size_per_image=512,
+                     positive_fraction=0.25, iou_thresh=0.5,
+                     num_classes=1):
+    """Match proposals (with GT appended) to GT and sample a fixed batch.
+
+    Returns dict with fixed-size (S,) arrays where S = batch_size_per_image:
+    boxes, matched_gt, classes (num_classes = background), is_fg, valid.
+    """
+    # append gt to proposals (detectron2 add_ground_truth_to_proposals)
+    all_boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
+    all_valid = jnp.concatenate([proposal_valid, gt_valid], axis=0)
+
+    iou = box_ops.pairwise_iou(all_boxes, gt_boxes)       # (P+G, G)
+    iou = jnp.where(gt_valid[None, :] & all_valid[:, None], iou, -1.0)
+    matched = jnp.argmax(iou, axis=1)
+    matched_iou = jnp.max(iou, axis=1)
+
+    has_gt = jnp.any(gt_valid)
+    fg = (matched_iou >= iou_thresh) & all_valid & has_gt
+    bg = (matched_iou < iou_thresh) & all_valid
+
+    labels = jnp.where(fg, 1, jnp.where(bg, 0, -1))
+    sel_pos, sel_neg = subsample_labels(labels, batch_size_per_image,
+                                        positive_fraction, key)
+    sampled = sel_pos | sel_neg
+
+    # gather a fixed-size batch: positives first, then negatives
+    s = batch_size_per_image
+    prio = jnp.where(sel_pos, 0, jnp.where(sel_neg, 1, 2))
+    order = jnp.argsort(prio.astype(jnp.float32)
+                        + jnp.arange(prio.shape[0]) * 1e-6)
+    idx = order[:s]
+    out_valid = sampled[idx]
+    out_fg = sel_pos[idx]
+    m = matched[idx]
+    classes = jnp.where(out_fg, gt_classes[m], num_classes)  # bg = C
+    return {
+        "boxes": all_boxes[idx],
+        "matched_gt": m,
+        "classes": jnp.where(out_valid, classes, num_classes),
+        "is_fg": out_fg & out_valid,
+        "valid": out_valid,
+    }
+
+
+def box_head_losses(cls_logits, box_deltas, sampled, gt_boxes, *,
+                    bbox_reg_weights=(10.0, 10.0, 5.0, 5.0),
+                    num_classes=1):
+    """Softmax CE + class-specific box L1 (detectron2 normalization)."""
+    s = cls_logits.shape[0]
+    valid = sampled["valid"]
+    classes = sampled["classes"]
+
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, classes[:, None], axis=1)[:, 0]
+    loss_cls = jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+    # box regression on foreground only, class-specific deltas
+    matched_gt_boxes = gt_boxes[sampled["matched_gt"]]
+    target = box_ops.get_deltas(sampled["boxes"], matched_gt_boxes,
+                                bbox_reg_weights)
+    d = box_deltas.reshape(s, num_classes, 4)
+    cls_idx = jnp.clip(classes, 0, num_classes - 1)
+    pred = jnp.take_along_axis(d, cls_idx[:, None, None].repeat(4, axis=2),
+                               axis=1)[:, 0]
+    l1 = jnp.sum(jnp.abs(pred - target), axis=-1)
+    loss_box = jnp.sum(jnp.where(sampled["is_fg"], l1, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+
+
+def mask_head_loss(mask_logits, mask_targets, fg_classes, fg_valid):
+    """Per-class sigmoid BCE over 28x28 mask targets.
+
+    mask_logits: (M, 2P, 2P, C); mask_targets: (M, 2P, 2P) float 0/1;
+    fg_classes: (M,) class index per RoI; fg_valid: (M,) bool.
+    """
+    m = mask_logits.shape[0]
+    c = mask_logits.shape[-1]
+    cls = jnp.clip(fg_classes, 0, c - 1)
+    logits = jnp.take_along_axis(
+        mask_logits, cls[:, None, None, None], axis=3)[..., 0]
+    bce = optax_sigmoid_bce(logits, mask_targets)
+    per_roi = jnp.mean(bce, axis=(1, 2))
+    return jnp.sum(jnp.where(fg_valid, per_roi, 0.0)) / jnp.maximum(
+        jnp.sum(fg_valid), 1)

@@ -45,18 +45,20 @@ def nms_mask(boxes, scores, valid, iou_threshold):
     higher = rank[:, None] < rank[None, :]
     suppress = (iou > iou_threshold) & higher & v[:, None]
 
+    # After t sweeps every box whose suppression-chain depth is <= t holds
+    # its final value, so n sweeps are always sufficient: the t < n cap
+    # bounds the loop without changing the result.
     def cond(state):
-        keep, prev = state
-        return jnp.any(keep != prev)
+        keep, prev, t = state
+        return jnp.any(keep != prev) & (t < n)
 
     def body(state):
-        keep, _ = state
+        keep, _, t = state
         new = v & ~jnp.any(suppress & keep[:, None], axis=0)
-        return new, keep
+        return new, keep, t + 1
 
-    keep0 = v
-    keep, _ = jax.lax.while_loop(
-        cond, body, (v & ~jnp.any(suppress & keep0[:, None], axis=0), keep0))
+    keep0 = v & ~jnp.any(suppress & v[:, None], axis=0)
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, v, jnp.int32(1)))
 
     # scatter back to original order
     out = jnp.zeros(n, bool).at[order].set(keep)

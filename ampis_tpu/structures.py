@@ -261,6 +261,57 @@ class Instances:
                 f"fields={list(self._fields)})")
 
 
+class SoftMasks:
+    """Lazy full-resolution masks: (N, 28, 28) soft masks + boxes.
+
+    The TPU predictor returns these instead of materialized N x H x W
+    bitmasks (which the reference pays for at data_utils.py:275): pasting +
+    thresholding + RLE encoding happen fused in multithreaded C++
+    (ampis_tpu.rle.paste_masks_to_rle) only when masks are consumed.
+    Indexing/len work like a mask container; ``numpy()`` / iteration
+    materialize dense bool masks on demand.
+    """
+
+    def __init__(self, masks, boxes, image_size, threshold=0.5):
+        self.masks = np.asarray(masks, np.float32)
+        self.boxes = np.asarray(boxes, np.float32)
+        self.image_size = tuple(int(s) for s in image_size)
+        self.threshold = float(threshold)
+        self._rle = None
+
+    def __len__(self):
+        return self.masks.shape[0]
+
+    def __getitem__(self, item):
+        if isinstance(item, int):
+            item = [item]
+        sel = item if isinstance(item, slice) else _normalize_index(
+            item, len(self))
+        return SoftMasks(self.masks[sel], self.boxes[sel], self.image_size,
+                         self.threshold)
+
+    def to_rle(self):
+        """Paste + threshold + RLE-encode all masks (cached)."""
+        if self._rle is None:
+            self._rle = RLE.paste_masks_to_rle(
+                self.masks, self.boxes, self.image_size, self.threshold)
+        return self._rle
+
+    def numpy(self) -> np.ndarray:
+        """(N, H, W) dense boolean masks."""
+        rles = self.to_rle()
+        if not rles:
+            return np.zeros((0,) + self.image_size, bool)
+        return RLE.decode(rles).astype(bool).transpose(2, 0, 1)
+
+    def __iter__(self):
+        return iter(self.numpy())
+
+    @property
+    def tensor(self):
+        return self.numpy()
+
+
 # ---------------------------------------------------------------------------
 # RLEMasks (reference structures.py:24-95)
 # ---------------------------------------------------------------------------

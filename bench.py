@@ -1,0 +1,107 @@
+"""Flagship benchmark: batched SEM-image Mask R-CNN inference throughput.
+
+Measures images/sec/chip for the powder workload (BASELINE config 5:
+batched high-density inference, 1536x1024 SEM images resized to
+shortest-edge 800, up to 400 detections/image) on whatever accelerator JAX
+exposes (the driver runs this on one real TPU chip).
+
+Baseline: detectron2 model-zoo mask_rcnn_R_50_FPN_3x inference on V100 =
+0.043 s/img = 23.3 img/s (the reference's engine; BASELINE.md north star is
+>= 5x that per chip).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+V100_BASELINE_IMG_S = 23.3
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ampis_tpu.input.transforms import (get_resize_shape,
+                                            pad_to_canvas_shape)
+    from ampis_tpu.models.mask_rcnn import MaskRCNN, init_params
+    from ampis_tpu.input.transforms import preprocess_image
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
+          file=sys.stderr)
+
+    # powder workload geometry
+    raw_h, raw_w = 1024, 1536
+    new_shape = get_resize_shape(raw_h, raw_w, 800, 1333)
+    canvas = pad_to_canvas_shape(*new_shape)
+
+    model = MaskRCNN(num_classes=1, detections_per_image=400,
+                     dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    # load the real SEM images when available, else synthetic
+    img_dir = Path("/root/reference/examples/powder/data/images_png")
+    imgs = []
+    if img_dir.exists():
+        from ampis_tpu.utils.io import imread_bgr
+        for p in sorted(img_dir.glob("*.png")):
+            imgs.append(imread_bgr(p))
+    if not imgs:
+        rs = np.random.RandomState(0)
+        imgs = [rs.randint(0, 255, (raw_h, raw_w, 3), np.uint8)
+                for _ in range(BATCH)]
+    while len(imgs) < BATCH:
+        imgs = imgs + imgs
+    raw = np.stack(imgs[:BATCH])
+
+    mean = (103.53, 116.28, 123.675)
+    std = (1.0, 1.0, 1.0)
+
+    @jax.jit
+    def run(params, images):
+        batch = jax.vmap(
+            lambda im: preprocess_image(im, new_shape, canvas, mean, std)
+        )(images)
+        sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                         (images.shape[0], 1))
+        return model.apply(params, batch, sizes, method=MaskRCNN.inference)
+
+    images_dev = jax.device_put(jnp.asarray(raw))
+    # compile + warmup
+    t0 = time.time()
+    out = run(params, images_dev)
+    jax.block_until_ready(out)
+    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    for _ in range(WARMUP):
+        out = run(params, images_dev)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = run(params, images_dev)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(f"# {BATCH} imgs x {ITERS} iters in {dt:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "SEM images/sec/chip (Mask R-CNN R50-FPN inference, "
+                  "1536x1024->800, 400 dets/img, bf16)",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize imports jax at interpreter start, which latches the
+# platform from the session env (JAX_PLATFORMS=axon -> real TPU) before this
+# file runs; the env assignment above is then ignored. config.update still
+# works because the backend itself is not initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
