@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops import box_ops
 from ..ops.roi_align import (assign_levels, crop_and_resize_masks,
-                             multilevel_roi_align)
+                             pack_feature_levels, roi_align_packed)
 from .anchors import multilevel_anchors
 from .fpn import FPN
 from .resnet import ResNet
@@ -111,24 +111,29 @@ class MaskRCNN(nn.Module):
 
         return jax.vmap(one)(tuple(logits), tuple(deltas), image_sizes)
 
-    def _pool(self, feats, boxes, valid, resolution):
-        """RoIAlign (B, K, 4) boxes over batched FPN levels -> (B*K, P, P, C).
+    def _packed_features(self, feats, b):
+        """Corner-pack the batch's box/mask pooling levels once.
 
-        One gather for the whole batch: per-image level lists are
-        concatenated and the level index encodes (image, fpn_level).
+        Per-image level lists are concatenated so RoIAlign over the whole
+        batch is one gather; the packing (see ops.roi_align) is shared by
+        the box and mask heads.
         """
-        b, k = boxes.shape[:2]
-        n_lvl = len(BOX_FEATURES)
         feature_list = [feats[f][i] for i in range(b) for f in BOX_FEATURES]
         strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES) * b
+        return pack_feature_levels(feature_list), strides
+
+    def _pool(self, packed, strides, boxes, valid, resolution):
+        """RoIAlign (B, K, 4) boxes -> (B*K, P, P, C) in one fused gather."""
+        b, k = boxes.shape[:2]
+        n_lvl = len(BOX_FEATURES)
         flat_boxes = boxes.reshape(-1, 4)
         # keep gather indices in-range for padding rows
         flat_boxes = jnp.where(valid.reshape(-1, 1), flat_boxes, 0.0)
         levels = assign_levels(flat_boxes)
         img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         entries = img_idx * n_lvl + levels
-        return multilevel_roi_align(
-            feature_list, flat_boxes, entries, strides=strides,
+        return roi_align_packed(
+            packed, flat_boxes, entries, strides=strides,
             output_size=resolution, max_sr=self.pooler_max_sr,
             sampling_ratio=self.pooler_sampling_ratio, chunk=self.roi_chunk)
 
@@ -151,7 +156,8 @@ class MaskRCNN(nn.Module):
             logits, deltas, anchors, image_sizes, train=False)
         k = proposals.shape[1]
 
-        pooled = self._pool(feats, proposals, prop_valid,
+        packed, strides = self._packed_features(feats, b)
+        pooled = self._pool(packed, strides, proposals, prop_valid,
                             self.box_pooler_resolution)
         cls_logits, box_deltas = self.box_head(pooled)     # (B*K, C+1/C*4)
         probs = jax.nn.softmax(cls_logits, axis=-1).reshape(
@@ -170,8 +176,8 @@ class MaskRCNN(nn.Module):
         dets = jax.vmap(one)(reg_boxes, probs, prop_valid, image_sizes)
 
         d = dets["boxes"].shape[1]
-        mask_pooled = self._pool(feats, dets["boxes"], dets["valid"],
-                                 self.mask_pooler_resolution)
+        mask_pooled = self._pool(packed, strides, dets["boxes"],
+                                 dets["valid"], self.mask_pooler_resolution)
         mask_logits = self.mask_head(mask_pooled)          # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         cls = jnp.clip(dets["classes"].reshape(-1), 0, self.num_classes - 1)
@@ -233,8 +239,9 @@ class MaskRCNN(nn.Module):
 
         # --- box head ---
         s = self.roi_batch_per_image
-        pooled = self._pool(feats, sampled["boxes"], sampled["valid"],
-                            self.box_pooler_resolution)
+        packed, strides = self._packed_features(feats, b)
+        pooled = self._pool(packed, strides, sampled["boxes"],
+                            sampled["valid"], self.box_pooler_resolution)
         cls_logits, box_deltas = self.box_head(pooled)
 
         def box_loss_one(cl, bd, smp, gtb):
@@ -262,7 +269,7 @@ class MaskRCNN(nn.Module):
             }
 
         fg = jax.vmap(fg_subset)(sampled)
-        mask_pooled = self._pool(feats, fg["boxes"], fg["valid"],
+        mask_pooled = self._pool(packed, strides, fg["boxes"], fg["valid"],
                                  self.mask_pooler_resolution)
         mask_logits = self.mask_head(mask_pooled)
         out_res = mask_logits.shape[1]

@@ -3,21 +3,26 @@
 Replaces the detectron2/torchvision CUDA RoIAlign the reference exercises
 through the box/mask heads (SURVEY.md §2b). TPU-first design decisions:
 
-* All FPN levels are flattened and concatenated into ONE (sum_l H_l*W_l, C)
+* All FPN levels are flattened and concatenated into ONE row-indexed
   tensor, so pooling N boxes assigned to different levels is a single fused
   gather — no per-level dynamic partitioning (which XLA cannot shape).
-* Sampling-point coordinates depend on per-box traced values (box, level
-  geometry) but the number of points is static: ``max_sampling_ratio``
-  points per bin axis, with adaptive-sampling-ratio boxes (sampling_ratio=0
-  semantics: sr = ceil(bin_size)) realized by masking the weights of unused
-  points. Bit-exact with the reference's ROIAlignV2 for sr <= max_sr.
-* Gathers are chunked over boxes with lax.map to bound the materialized
-  (chunk, points, C) tensors in HBM.
+* **Corner packing**: TPU gather cost is dominated by the number of
+  gathered rows, not bytes (measured: row width 128 vs 512 bytes changes
+  latency < 10%). The feature tensor is pre-packed so each row holds all
+  four bilinear corners [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] — one
+  gathered row per sampling point instead of four (4x fewer rows, ~4x
+  faster pooling) at the cost of 4x feature bytes, built once per image
+  and shared by the box and mask heads.
+* Sampling-point coordinates depend on per-box traced values but the point
+  count is static: ``max_sr`` points per bin axis, with adaptive sampling
+  (sampling_ratio=0: sr = ceil(bin_size), as ROIAlignV2) realized by
+  zeroing the weights of unused points.
+* Gathers are chunked with lax.map to bound transient HBM.
 
 Coordinate semantics of ROIAlignV2 (aligned=True): box coords are scaled by
 1/stride then shifted by -0.5 so sampling points align with feature pixel
-centers; points outside [-1, H] contribute zero; bilinear corners clamp at
-the feature border.
+centers; points outside [-1, size] contribute zero (but still count in the
+adaptive average); bilinear corners clamp at the feature border.
 """
 from __future__ import annotations
 
@@ -39,11 +44,22 @@ def assign_levels(boxes, min_level=2, max_level=5, canonical_level=4,
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
 
 
-def flatten_levels(features):
-    """Concat a list of (H_l, W_l, C) maps into (sum HW, C) + geometry.
+def _pack_corners(f):
+    """(H, W, C) -> (H, W, 4C): [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)].
 
-    Returns (flat, offsets, heights, widths) with int32 geometry arrays of
-    length n_levels.
+    Out-of-bounds shifts are zero-padded; the interpolation weights for
+    clamped corners are zero by construction, so the padding never leaks.
+    """
+    fx = jnp.pad(f[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    row = jnp.concatenate([f, fx], axis=-1)
+    ry = jnp.pad(row[1:], ((0, 1), (0, 0), (0, 0)))
+    return jnp.concatenate([row, ry], axis=-1)
+
+
+def pack_feature_levels(features):
+    """Corner-pack + flatten a list of (H_l, W_l, C) maps.
+
+    Returns (flat4 (sum HW, 4C), offsets, heights, widths).
     """
     flats = []
     offsets = []
@@ -52,7 +68,7 @@ def flatten_levels(features):
     off = 0
     for f in features:
         h, w, c = f.shape
-        flats.append(f.reshape(h * w, c))
+        flats.append(_pack_corners(f).reshape(h * w, 4 * c))
         offsets.append(off)
         heights.append(h)
         widths.append(w)
@@ -63,110 +79,96 @@ def flatten_levels(features):
             jnp.asarray(widths, jnp.int32))
 
 
+def _interp_axis(coord, size):
+    """1-D bilinear setup: low index, fraction, in-range mask.
+
+    ROIAlignV2 semantics: out-of-range beyond [-1, size] contributes zero;
+    coords clamp to [0, size-1]; at the top border frac = 0.
+    """
+    out_of_range = (coord < -1.0) | (coord > size.astype(jnp.float32))
+    c = jnp.clip(coord, 0.0)
+    low = jnp.floor(c).astype(jnp.int32)
+    at_end = low >= size - 1
+    low = jnp.where(at_end, size - 1, low)
+    frac = jnp.where(at_end, 0.0, c - low.astype(jnp.float32))
+    return low, frac, ~out_of_range
+
+
 @partial(jax.jit, static_argnames=("output_size", "max_sr", "strides",
                                    "sampling_ratio", "chunk"))
-def multilevel_roi_align(features, boxes, levels, *, strides,
-                         output_size=7, max_sr=2, sampling_ratio=0,
-                         chunk=128):
-    """Pool N boxes from FPN levels into (N, P, P, C).
+def roi_align_packed(packed, boxes, levels, *, strides, output_size=7,
+                     max_sr=2, sampling_ratio=0, chunk=256):
+    """Pool N boxes from corner-packed FPN levels into (N, P, P, C).
 
-    features: list of (H_l, W_l, C) arrays, one per level (same order as
-      ``strides``, a tuple like (4, 8, 16, 32)).
-    boxes: (N, 4) XYXY in image coordinates.
-    levels: (N,) int32 level index (0-based into ``features``).
-    sampling_ratio: 0 for adaptive (sr = ceil(bin), capped at max_sr),
-      else the fixed ratio (must be <= max_sr).
+    packed: result of pack_feature_levels (flat4, offsets, heights, widths);
+    boxes: (N, 4) XYXY image coords; levels: (N,) int32 into the level list;
+    strides: static per-level tuple.
     """
     if not isinstance(sampling_ratio, int):
         raise TypeError("sampling_ratio must be a static int")
-    flat, offsets, heights, widths = flatten_levels(features)
+    flat4, offsets, heights, widths = packed
     n = boxes.shape[0]
     P = output_size
-    S = max_sr
-    C = flat.shape[1]
+    S = max_sr if sampling_ratio == 0 else sampling_ratio
+    C = flat4.shape[1] // 4
 
     stride_arr = jnp.asarray(strides, jnp.float32)
-    scale_n = 1.0 / stride_arr[levels]          # (N,)
-    H_n = heights[levels]                        # (N,)
+    scale_n = 1.0 / stride_arr[levels]
+    H_n = heights[levels]
     W_n = widths[levels]
     off_n = offsets[levels]
 
-    # aligned=True: continuous coords, -0.5 offset
     x0 = boxes[:, 0] * scale_n - 0.5
     y0 = boxes[:, 1] * scale_n - 0.5
     x1 = boxes[:, 2] * scale_n - 0.5
     y1 = boxes[:, 3] * scale_n - 0.5
-    roi_w = x1 - x0
-    roi_h = y1 - y0
-    bin_w = roi_w / P
-    bin_h = roi_h / P
+    bin_w = (x1 - x0) / P
+    bin_h = (y1 - y0) / P
 
     if sampling_ratio > 0:
         sr_x = jnp.full((n,), sampling_ratio, jnp.int32)
         sr_y = sr_x
     else:
-        sr_y = jnp.clip(jnp.ceil(roi_h / P), 1, S).astype(jnp.int32)
-        sr_x = jnp.clip(jnp.ceil(roi_w / P), 1, S).astype(jnp.int32)
+        sr_y = jnp.clip(jnp.ceil((y1 - y0) / P), 1, S).astype(jnp.int32)
+        sr_x = jnp.clip(jnp.ceil((x1 - x0) / P), 1, S).astype(jnp.int32)
 
-    # sample coordinates: (N, P*S) along each axis
-    pbin = jnp.arange(P, dtype=jnp.float32)          # bin index
-    ssub = jnp.arange(S, dtype=jnp.float32)          # sub-sample index
-    # y = y0 + pbin*bin_h + (s + .5) * bin_h / sr_y
+    pbin = jnp.arange(P, dtype=jnp.float32)
+    ssub = jnp.arange(S, dtype=jnp.float32)
     ys = (y0[:, None, None] + pbin[None, :, None] * bin_h[:, None, None]
           + (ssub[None, None, :] + 0.5) * bin_h[:, None, None]
-          / sr_y[:, None, None].astype(jnp.float32))   # (N, P, S)
+          / sr_y[:, None, None].astype(jnp.float32))       # (N, P, S)
     xs = (x0[:, None, None] + pbin[None, :, None] * bin_w[:, None, None]
           + (ssub[None, None, :] + 0.5) * bin_w[:, None, None]
           / sr_x[:, None, None].astype(jnp.float32))
-    y_valid_pt = ssub[None, None, :] < sr_y[:, None, None]   # (N, P, S)
-    x_valid_pt = ssub[None, None, :] < sr_x[:, None, None]
+    y_used = ssub[None, None, :] < sr_y[:, None, None]
+    x_used = ssub[None, None, :] < sr_x[:, None, None]
 
-    def interp_axis(coord, size):
-        """1-D bilinear setup: low index, weights, in-range mask."""
-        out_of_range = (coord < -1.0) | (coord > size.astype(jnp.float32))
-        c = jnp.clip(coord, 0.0)
-        low = jnp.floor(c).astype(jnp.int32)
-        at_end = low >= size - 1
-        low = jnp.where(at_end, size - 1, low)
-        high = jnp.where(at_end, size - 1, low + 1)
-        frac = jnp.where(at_end, 0.0, c - low.astype(jnp.float32))
-        return low, high, frac, ~out_of_range
+    yl, fy, y_in = _interp_axis(ys, H_n[:, None, None])
+    xl, fx, x_in = _interp_axis(xs, W_n[:, None, None])
 
-    size_h = H_n[:, None, None]
-    size_w = W_n[:, None, None]
-    yl, yh, fy, y_in = interp_axis(ys, size_h)      # (N, P, S)
-    xl, xh, fx, x_in = interp_axis(xs, size_w)
+    fdtype = flat4.dtype
 
-    # per-box constants for flattened index math
     def pool_chunk(args):
-        (yl_c, yh_c, fy_c, yin_c, yval_c,
-         xl_c, xh_c, fx_c, xin_c, xval_c,
-         off_c, w_c, sry_c, srx_c) = args
+        (yl_c, fy_c, ym_c, xl_c, fx_c, xm_c, off_c, w_c, sry_c, srx_c) = args
         B = yl_c.shape[0]
-        # combine y (P,S) with x (P,S) -> (B, P, S, P, S)
-        def flat_idx(yy, xx):
-            return (off_c[:, None, None, None, None]
-                    + yy[:, :, :, None, None] * w_c[:, None, None, None, None]
-                    + xx[:, None, None, :, :])
-
-        wy_l = (1.0 - fy_c)
-        wy_h = fy_c
-        wx_l = (1.0 - fx_c)
-        wx_h = fx_c
-        valid = (yin_c & yval_c)[:, :, :, None, None] \
-            & (xin_c & xval_c)[:, None, None, :, :]
-        acc = jnp.zeros((B, P, S, P, S, C), jnp.float32)
-        for yy, wy in ((yl_c, wy_l), (yh_c, wy_h)):
-            for xx, wx in ((xl_c, wx_l), (xh_c, wx_h)):
-                v = jnp.take(flat, flat_idx(yy, xx).reshape(B, -1),
-                             axis=0).reshape(B, P, S, P, S, C)
-                w = (wy[:, :, :, None, None] * wx[:, None, None, :, :])
-                acc = acc + v.astype(jnp.float32) * w[..., None]
-        acc = jnp.where(valid[..., None], acc, 0.0)
-        # average over the (adaptive) sample grid
+        idx = (off_c[:, None, None, None, None]
+               + yl_c[:, :, :, None, None] * w_c[:, None, None, None, None]
+               + xl_c[:, None, None, :, :])                 # (B, P, S, P, S)
+        rows = jnp.take(flat4, idx.reshape(B, -1), axis=0)  # (B, pts, 4C)
+        rows = rows.reshape(B, P, S, P, S, 4, C)
+        # combined corner weights; invalid/unused points weigh zero
+        wy = jnp.stack([1.0 - fy_c, fy_c], axis=-1)         # (B, P, S, 2)
+        wx = jnp.stack([1.0 - fx_c, fx_c], axis=-1)
+        valid = (ym_c[:, :, :, None, None]
+                 & xm_c[:, None, None, :, :]).astype(jnp.float32)
+        w4 = (wy[:, :, :, None, None, :, None]
+              * wx[:, None, None, :, :, None, :]).reshape(
+                  B, P, S, P, S, 4) * valid[..., None]
+        vals = (rows.astype(jnp.float32) * w4[..., None]).sum(axis=5)
+        # adaptive average over the S x S sub-grid
         count = (sry_c * srx_c).astype(jnp.float32)
-        pooled = acc.sum(axis=(2, 4)) / count[:, None, None, None]
-        return pooled  # (B, P, P, C)
+        pooled = vals.sum(axis=(2, 4)) / count[:, None, None, None]
+        return pooled.astype(fdtype)
 
     n_chunks = math.ceil(n / chunk)
     pad = n_chunks * chunk - n
@@ -174,13 +176,28 @@ def multilevel_roi_align(features, boxes, levels, *, strides,
     def pad0(a):
         return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
 
+    y_mask = y_in & y_used
+    x_mask = x_in & x_used
     args = tuple(
         pad0(a).reshape(n_chunks, chunk, *a.shape[1:]) for a in
-        (yl, yh, fy, y_in, y_valid_pt, xl, xh, fx, x_in, x_valid_pt,
-         off_n, W_n, sr_y, sr_x))
+        (yl, fy, y_mask, xl, fx, x_mask, off_n, W_n, sr_y, sr_x))
     out = jax.lax.map(pool_chunk, args)
-    out = out.reshape(n_chunks * chunk, P, P, C)[:n]
-    return out.astype(features[0].dtype)
+    return out.reshape(n_chunks * chunk, P, P, C)[:n]
+
+
+def multilevel_roi_align(features, boxes, levels, *, strides,
+                         output_size=7, max_sr=2, sampling_ratio=0,
+                         chunk=256):
+    """Pool N boxes from FPN levels into (N, P, P, C).
+
+    features: list of (H_l, W_l, C) arrays matching ``strides``. Packs the
+    levels internally; use pack_feature_levels + roi_align_packed to share
+    the packing between several pooling calls.
+    """
+    packed = pack_feature_levels(features)
+    return roi_align_packed(packed, boxes, levels, strides=strides,
+                            output_size=output_size, max_sr=max_sr,
+                            sampling_ratio=sampling_ratio, chunk=chunk)
 
 
 def roi_align_single(feature, boxes, *, stride, output_size=7,
@@ -232,18 +249,12 @@ def crop_and_resize_masks(masks, boxes, mask_idx, *, output_size=28,
     yv = ssub[None, None, :] < sr_y[:, None, None]
     xv = ssub[None, None, :] < sr_x[:, None, None]
 
-    def interp_axis(coord, size):
-        oor = (coord < -1.0) | (coord > float(size))
-        c = jnp.clip(coord, 0.0)
-        low = jnp.floor(c).astype(jnp.int32)
-        at_end = low >= size - 1
-        low = jnp.where(at_end, size - 1, low)
-        high = jnp.where(at_end, size - 1, low + 1)
-        frac = jnp.where(at_end, 0.0, c - low.astype(jnp.float32))
-        return low, high, frac, ~oor
-
-    yl, yh, fy, yin = interp_axis(ys, h)
-    xl, xh, fx, xin = interp_axis(xs, w)
+    size_h = jnp.full((1, 1, 1), h, jnp.int32)
+    size_w = jnp.full((1, 1, 1), w, jnp.int32)
+    yl, fy, yin = _interp_axis(ys, size_h)
+    xl, fx, xin = _interp_axis(xs, size_w)
+    yh = jnp.minimum(yl + 1, h - 1)
+    xh = jnp.minimum(xl + 1, w - 1)
     base = (mask_idx.astype(jnp.int32) * (h * w))[:, None, None, None, None]
 
     def flat_idx(yy, xx):

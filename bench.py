@@ -76,20 +76,27 @@ def main():
                          (images.shape[0], 1))
         return model.apply(params, batch, sizes, method=MaskRCNN.inference)
 
+    import numpy as _np
+
+    def sync(o):
+        # explicit host fetch: block_until_ready does not reliably drain
+        # the axon tunnel's execution queue
+        return _np.asarray(o["scores"]).sum()
+
     images_dev = jax.device_put(jnp.asarray(raw))
     # compile + warmup
     t0 = time.time()
     out = run(params, images_dev)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
     for _ in range(WARMUP):
         out = run(params, images_dev)
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.time()
     for _ in range(ITERS):
         out = run(params, images_dev)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.time() - t0
 
     img_s = BATCH * ITERS / dt
