@@ -164,10 +164,14 @@ def roi_align_packed(packed, boxes, levels, *, strides, output_size=7,
         w4 = (wy[:, :, :, None, None, :, None]
               * wx[:, None, None, :, :, None, :]).reshape(
                   B, P, S, P, S, 4) * valid[..., None]
-        vals = (rows.astype(jnp.float32) * w4[..., None]).sum(axis=5)
-        # adaptive average over the S x S sub-grid
-        count = (sry_c * srx_c).astype(jnp.float32)
-        pooled = vals.sum(axis=(2, 4)) / count[:, None, None, None]
+        # one contraction fuses the corner combine and the sub-grid sum
+        # (avoids materializing the fp32 broadcast product)
+        vals = jnp.einsum("bpsqtkc,bpsqtk->bpqc", rows, w4,
+                          preferred_element_type=jnp.float32)
+        # chunk-padding rows carry sr = 0: clamp so 0/0 NaNs can't leak
+        # into the feature gradients through the backward scatter
+        count = jnp.maximum((sry_c * srx_c).astype(jnp.float32), 1.0)
+        pooled = vals / count[:, None, None, None]
         return pooled.astype(fdtype)
 
     n_chunks = math.ceil(n / chunk)

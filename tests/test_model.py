@@ -1,0 +1,360 @@
+"""Model-level unit tests (fast, CPU): anchors, heads, sampling, converter."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ampis_tpu.models import anchors as anchor_lib
+from ampis_tpu.models import roi_heads, rpn
+from ampis_tpu.models.mask_rcnn import MaskRCNN, count_params, init_params
+from ampis_tpu.engine import checkpoint as ckpt_lib
+from ampis_tpu.engine.trainer import build_lr_schedule, trainable_mask
+from ampis_tpu.engine.config import get_cfg
+
+
+class TestAnchors:
+    def test_cell_anchor_geometry(self):
+        cell = anchor_lib.cell_anchors([32], [0.5, 1.0, 2.0])
+        assert cell.shape == (3, 4)
+        areas = (cell[:, 2] - cell[:, 0]) * (cell[:, 3] - cell[:, 1])
+        np.testing.assert_allclose(areas, 32 * 32, rtol=1e-5)
+        # ratio = h / w
+        r = (cell[:, 3] - cell[:, 1]) / (cell[:, 2] - cell[:, 0])
+        np.testing.assert_allclose(sorted(r), [0.5, 1.0, 2.0], rtol=1e-5)
+        # centered at origin
+        np.testing.assert_allclose(cell[:, :2], -cell[:, 2:], rtol=1e-5)
+
+    def test_grid_order_row_major(self):
+        cell = anchor_lib.cell_anchors([16], [1.0])
+        g = anchor_lib.grid_anchors(2, 3, 8, cell)
+        assert g.shape == (6, 4)
+        centers = (g[:, :2] + g[:, 2:]) / 2
+        # row-major: x varies fastest
+        np.testing.assert_allclose(
+            centers,
+            [[0, 0], [8, 0], [16, 0], [0, 8], [8, 8], [16, 8]])
+
+    def test_multilevel_counts(self):
+        out = anchor_lib.multilevel_anchors(
+            [(4, 6), (2, 3)], [8, 16], [[32], [64]], [0.5, 1.0, 2.0])
+        assert out[0].shape == (4 * 6 * 3, 4)
+        assert out[1].shape == (2 * 3 * 3, 4)
+
+
+class TestRPN:
+    def test_subsample_labels_counts(self):
+        labels = jnp.asarray([1] * 300 + [0] * 500 + [-1] * 200)
+        pos, neg = rpn.subsample_labels(labels, 256, 0.5,
+                                        jax.random.PRNGKey(0))
+        assert int(pos.sum()) == 128
+        assert int(neg.sum()) == 128
+        assert not bool((pos & (labels != 1)).any())
+        assert not bool((neg & (labels != 0)).any())
+
+    def test_subsample_few_positives(self):
+        labels = jnp.asarray([1] * 10 + [0] * 500)
+        pos, neg = rpn.subsample_labels(labels, 256, 0.5,
+                                        jax.random.PRNGKey(0))
+        assert int(pos.sum()) == 10
+        assert int(neg.sum()) == 246
+
+    def test_match_anchors(self):
+        anchors_arr = jnp.asarray(
+            [[0, 0, 10, 10], [0, 0, 9, 11], [50, 50, 60, 60],
+             [200, 200, 210, 210], [0, 0, 30, 30]], jnp.float32)
+        gt = jnp.asarray([[0, 0, 10, 10], [52, 50, 60, 61]], jnp.float32)
+        gt_valid = jnp.asarray([True, True])
+        matched, labels = rpn.match_anchors_to_gt(
+            anchors_arr, gt, gt_valid, thresholds=(0.3, 0.7), chunk=4)
+        labels = np.asarray(labels)
+        assert labels[0] == 1          # exact match
+        assert labels[3] == 0          # far away -> negative
+        # anchor 2 has highest IoU with gt 1 -> low-quality positive
+        assert labels[2] == 1
+        assert int(matched[0]) == 0
+        assert int(matched[2]) == 1
+
+    def test_match_no_valid_gt(self):
+        anchors_arr = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        gt = jnp.zeros((2, 4), jnp.float32)
+        _, labels = rpn.match_anchors_to_gt(
+            anchors_arr, gt, jnp.zeros(2, bool))
+        assert int(labels[0]) == 0  # all negative
+
+    def test_select_proposals_shapes_and_validity(self):
+        n = 100
+        rs = np.random.RandomState(0)
+        logits = [jnp.asarray(rs.randn(n), jnp.float32)]
+        anchors_arr = [jnp.asarray(
+            np.concatenate([rs.rand(n, 2) * 50,
+                            rs.rand(n, 2) * 50 + 60], 1), jnp.float32)]
+        deltas = [jnp.zeros((n, 4), jnp.float32)]
+        boxes, scores, valid = rpn.select_proposals(
+            logits, deltas, anchors_arr, (128, 128),
+            pre_nms_topk=50, post_nms_topk=20, nms_thresh=0.7)
+        assert boxes.shape == (20, 4)
+        assert bool(valid.any())
+        # scores sorted descending among valid
+        s = np.asarray(scores)[np.asarray(valid)]
+        assert np.all(np.diff(s) <= 1e-6)
+
+
+class TestFastRCNNInference:
+    def test_filters_and_ranks(self):
+        k, c = 6, 1
+        boxes = jnp.tile(jnp.asarray([[10., 10., 30., 30.]]), (k, 1))
+        boxes = boxes + jnp.arange(k, dtype=jnp.float32)[:, None] * 25
+        boxes_pc = boxes[:, None, :]
+        probs = np.zeros((k, c + 1), np.float32)
+        probs[:, 0] = [0.9, 0.8, 0.02, 0.7, 0.6, 0.5]  # one below thresh
+        probs[:, 1] = 1 - probs[:, 0]
+        out = roi_heads.fast_rcnn_inference(
+            boxes_pc, jnp.asarray(probs), jnp.ones(k, bool), (300, 300),
+            score_thresh=0.05, nms_thresh=0.5, topk_per_image=4)
+        assert out["boxes"].shape == (4, 4)
+        v = np.asarray(out["valid"])
+        assert v.sum() == 4  # 5 above threshold, keep top 4
+        s = np.asarray(out["scores"])
+        assert np.all(np.diff(s[v]) <= 0)
+
+    def test_nms_suppresses_overlaps(self):
+        # two identical boxes, one lower score -> suppressed
+        boxes_pc = jnp.asarray(
+            [[[10., 10., 30., 30.]], [[11., 10., 31., 30.]]])
+        probs = jnp.asarray([[0.9, 0.1], [0.8, 0.2]])
+        out = roi_heads.fast_rcnn_inference(
+            boxes_pc, probs, jnp.ones(2, bool), (100, 100),
+            score_thresh=0.05, nms_thresh=0.5, topk_per_image=2)
+        assert int(np.asarray(out["valid"]).sum()) == 1
+
+
+class TestSampleProposals:
+    def test_gt_boxes_become_foreground(self):
+        gt = jnp.asarray([[10, 10, 30, 30], [50, 50, 80, 90]], jnp.float32)
+        gt_valid = jnp.ones(2, bool)
+        gt_classes = jnp.zeros(2, jnp.int32)
+        props = jnp.asarray([[200, 200, 220, 220]], jnp.float32)
+        out = roi_heads.sample_proposals(
+            props, jnp.ones(1, bool), gt, gt_classes, gt_valid,
+            jax.random.PRNGKey(0), batch_size_per_image=8,
+            positive_fraction=0.5, num_classes=1)
+        # appended GT match themselves -> at least 2 fg
+        assert int(np.asarray(out["is_fg"]).sum()) == 2
+        fg_classes = np.asarray(out["classes"])[np.asarray(out["is_fg"])]
+        assert np.all(fg_classes == 0)
+        bg = np.asarray(out["valid"]) & ~np.asarray(out["is_fg"])
+        assert np.all(np.asarray(out["classes"])[bg] == 1)  # background=C
+
+
+class TestLossValues:
+    def test_mask_head_loss_perfect_prediction(self):
+        m, p, c = 4, 28, 1
+        targets = jnp.zeros((m, p, p))
+        targets = targets.at[:, :14].set(1.0)
+        logits = (targets * 2 - 1)[:, :, :, None] * 20.0  # confident
+        loss = roi_heads.mask_head_loss(
+            logits, targets, jnp.zeros(m, jnp.int32), jnp.ones(m, bool))
+        assert float(loss) < 1e-6
+
+    def test_mask_head_loss_ignores_invalid(self):
+        m, p = 2, 8
+        logits = jnp.zeros((m, p, p, 1))
+        targets = jnp.ones((m, p, p))
+        loss_all = roi_heads.mask_head_loss(
+            logits, targets, jnp.zeros(m, jnp.int32), jnp.ones(m, bool))
+        loss_one = roi_heads.mask_head_loss(
+            logits, targets, jnp.zeros(m, jnp.int32),
+            jnp.asarray([True, False]))
+        np.testing.assert_allclose(float(loss_all), float(loss_one),
+                                   rtol=1e-6)
+
+
+class TestSchedulesAndMasks:
+    def test_lr_schedule_warmup_and_steps(self):
+        cfg = get_cfg()
+        cfg.SOLVER.BASE_LR = 0.02
+        cfg.SOLVER.WARMUP_ITERS = 100
+        cfg.SOLVER.WARMUP_FACTOR = 0.001
+        cfg.SOLVER.STEPS = (1000, 2000)
+        sched = build_lr_schedule(cfg)
+        assert float(sched(0)) == pytest.approx(0.02 * 0.001, rel=1e-3)
+        assert float(sched(100)) == pytest.approx(0.02, rel=1e-4)
+        assert float(sched(1500)) == pytest.approx(0.002, rel=1e-4)
+        assert float(sched(2500)) == pytest.approx(0.0002, rel=1e-4)
+
+    def test_trainable_mask_freezes_norm_and_early_stages(self):
+        params = {"params": {
+            "backbone": {
+                "stem": {"conv1": {"conv": {"kernel": 1},
+                                   "norm": {"scale": 1, "bias": 1}}},
+                "res2.0": {"conv1": {"conv": {"kernel": 1},
+                                     "norm": {"scale": 1}}},
+                "res3.0": {"conv1": {"conv": {"kernel": 1},
+                                     "norm": {"scale": 1}}},
+            },
+            "box_head": {"fc1": {"kernel": 1}},
+        }}
+        m = trainable_mask(params, freeze_at=2)
+        p = m["params"]
+        assert p["backbone"]["stem"]["conv1"]["conv"]["kernel"] is False
+        assert p["backbone"]["res2.0"]["conv1"]["conv"]["kernel"] is False
+        assert p["backbone"]["res3.0"]["conv1"]["conv"]["kernel"] is True
+        assert p["backbone"]["res3.0"]["conv1"]["norm"]["scale"] is False
+        assert p["box_head"]["fc1"]["kernel"] is True
+
+
+class TestD2Converter:
+    def _synthetic_state_dict(self):
+        rs = np.random.RandomState(0)
+        sd = {}
+
+        def conv_norm(prefix, cin, cout, k):
+            sd[f"{prefix}.weight"] = rs.rand(cout, cin, k, k).astype(
+                np.float32)
+            for suffix, shape in (("weight", cout), ("bias", cout),
+                                  ("running_mean", cout),
+                                  ("running_var", cout)):
+                sd[f"{prefix}.norm.{suffix}"] = rs.rand(shape).astype(
+                    np.float32) + 0.5
+
+        conv_norm("backbone.bottom_up.stem.conv1", 3, 64, 7)
+        specs = {"res2": (3, 64, 64, 256), "res3": (4, 256, 128, 512),
+                 "res4": (6, 512, 256, 1024), "res5": (3, 1024, 512, 2048)}
+        for stage, (n, cin, mid, cout) in specs.items():
+            for b in range(n):
+                ci = cin if b == 0 else cout
+                conv_norm(f"backbone.bottom_up.{stage}.{b}.conv1", ci, mid, 1)
+                conv_norm(f"backbone.bottom_up.{stage}.{b}.conv2", mid, mid, 3)
+                conv_norm(f"backbone.bottom_up.{stage}.{b}.conv3", mid, cout,
+                          1)
+                if b == 0:
+                    conv_norm(f"backbone.bottom_up.{stage}.{b}.shortcut", ci,
+                              cout, 1)
+        for lvl, cin in zip((2, 3, 4, 5), (256, 512, 1024, 2048)):
+            sd[f"backbone.fpn_lateral{lvl}.weight"] = rs.rand(
+                256, cin, 1, 1).astype(np.float32)
+            sd[f"backbone.fpn_lateral{lvl}.bias"] = rs.rand(256).astype(
+                np.float32)
+            sd[f"backbone.fpn_output{lvl}.weight"] = rs.rand(
+                256, 256, 3, 3).astype(np.float32)
+            sd[f"backbone.fpn_output{lvl}.bias"] = rs.rand(256).astype(
+                np.float32)
+        for name, cout in (("conv", 256), ("objectness_logits", 3),
+                           ("anchor_deltas", 12)):
+            k = 3 if name == "conv" else 1
+            sd[f"proposal_generator.rpn_head.{name}.weight"] = rs.rand(
+                cout, 256, k, k).astype(np.float32)
+            sd[f"proposal_generator.rpn_head.{name}.bias"] = rs.rand(
+                cout).astype(np.float32)
+        sd["roi_heads.box_head.fc1.weight"] = rs.rand(
+            1024, 256 * 49).astype(np.float32)
+        sd["roi_heads.box_head.fc1.bias"] = rs.rand(1024).astype(np.float32)
+        sd["roi_heads.box_head.fc2.weight"] = rs.rand(1024, 1024).astype(
+            np.float32)
+        sd["roi_heads.box_head.fc2.bias"] = rs.rand(1024).astype(np.float32)
+        sd["roi_heads.box_predictor.cls_score.weight"] = rs.rand(
+            2, 1024).astype(np.float32)
+        sd["roi_heads.box_predictor.cls_score.bias"] = rs.rand(2).astype(
+            np.float32)
+        sd["roi_heads.box_predictor.bbox_pred.weight"] = rs.rand(
+            4, 1024).astype(np.float32)
+        sd["roi_heads.box_predictor.bbox_pred.bias"] = rs.rand(4).astype(
+            np.float32)
+        for i in range(1, 5):
+            sd[f"roi_heads.mask_head.mask_fcn{i}.weight"] = rs.rand(
+                256, 256, 3, 3).astype(np.float32)
+            sd[f"roi_heads.mask_head.mask_fcn{i}.bias"] = rs.rand(
+                256).astype(np.float32)
+        sd["roi_heads.mask_head.deconv.weight"] = rs.rand(
+            256, 256, 2, 2).astype(np.float32)
+        sd["roi_heads.mask_head.deconv.bias"] = rs.rand(256).astype(
+            np.float32)
+        sd["roi_heads.mask_head.predictor.weight"] = rs.rand(
+            1, 256, 1, 1).astype(np.float32)
+        sd["roi_heads.mask_head.predictor.bias"] = rs.rand(1).astype(
+            np.float32)
+        return sd
+
+    def test_converted_tree_matches_model_shapes(self):
+        sd = self._synthetic_state_dict()
+        converted = ckpt_lib.convert_d2_state_dict(sd)
+        model = MaskRCNN(num_classes=1)
+        params = jax.tree.map(np.asarray,
+                              init_params(model, jax.random.PRNGKey(0)))
+
+        flat_ref = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_conv = dict(
+            (jax.tree_util.keystr(k), v) for k, v in
+            jax.tree_util.tree_flatten_with_path(converted)[0])
+        missing = []
+        mismatched = []
+        for key, ref in flat_ref:
+            ks = jax.tree_util.keystr(key)
+            if ks not in flat_conv:
+                missing.append(ks)
+            elif flat_conv[ks].shape != ref.shape:
+                mismatched.append((ks, flat_conv[ks].shape, ref.shape))
+        assert not missing, f"converter missing params: {missing[:5]}"
+        assert not mismatched, f"shape mismatches: {mismatched[:5]}"
+
+    def test_bn_folding(self):
+        sd = {"x.weight": np.asarray([2.0]), "x.bias": np.asarray([1.0]),
+              "x.running_mean": np.asarray([3.0]),
+              "x.running_var": np.asarray([4.0])}
+        out = ckpt_lib._fold_bn(sd, "x")
+        scale = 2.0 / np.sqrt(4.0 + ckpt_lib.BN_EPS)
+        np.testing.assert_allclose(out["scale"], scale, rtol=1e-6)
+        np.testing.assert_allclose(out["bias"], 1.0 - 3.0 * scale, rtol=1e-6)
+
+    def test_head_mismatch_keeps_fresh_init(self, tmp_path):
+        import pickle
+        sd = self._synthetic_state_dict()
+        # pretend the checkpoint has 80-class COCO heads
+        rs = np.random.RandomState(1)
+        sd["roi_heads.box_predictor.cls_score.weight"] = rs.rand(
+            81, 1024).astype(np.float32)
+        sd["roi_heads.box_predictor.cls_score.bias"] = rs.rand(81).astype(
+            np.float32)
+        p = tmp_path / "model.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"model": sd, "__author__": "test"}, f)
+        model = MaskRCNN(num_classes=1)
+        ref = init_params(model, jax.random.PRNGKey(0))
+        loaded = ckpt_lib.load_d2_pkl(p, reference_params=ref)
+        ref_np = jax.tree.map(np.asarray, ref)
+        # backbone weights taken from checkpoint
+        got = loaded["params"]["backbone"]["stem"]["conv1"]["conv"]["kernel"]
+        want = ckpt_lib._conv(sd["backbone.bottom_up.stem.conv1.weight"])
+        np.testing.assert_allclose(got, want)
+        # mismatched head kept fresh
+        np.testing.assert_allclose(
+            loaded["params"]["box_head"]["cls_score"]["kernel"],
+            ref_np["params"]["box_head"]["cls_score"]["kernel"])
+
+
+def test_param_count_matches_mask_rcnn_r50():
+    model = MaskRCNN(num_classes=1)
+    params = init_params(model, jax.random.PRNGKey(0))
+    n = count_params(params)
+    assert 43.5e6 < n < 44.5e6  # ~44.0M for R50-FPN Mask R-CNN (1 class)
+
+
+def test_deconv_layout_matches_torch_semantics():
+    """Pin the _deconv converter layout against manual torch-convT math."""
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 5, 6, 3).astype(np.float32)
+    w_t = rs.rand(3, 4, 2, 2).astype(np.float32)  # (in, out, kh, kw)
+    manual = np.zeros((1, 10, 12, 4), np.float32)
+    for i in range(5):
+        for j in range(6):
+            for di in range(2):
+                for dj in range(2):
+                    manual[0, 2 * i + di, 2 * j + dj] = \
+                        x[0, i, j] @ w_t[:, :, di, dj]
+    import flax.linen as nn
+    mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2), padding="VALID",
+                           use_bias=False)
+    kernel = ckpt_lib._deconv(w_t)
+    out = np.asarray(mod.apply(
+        {"params": {"kernel": jnp.asarray(kernel)}}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, manual, atol=1e-5)

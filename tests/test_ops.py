@@ -222,6 +222,30 @@ class TestRoiAlign:
         assert list(lv) == [0, 2, 3, 1]
 
 
+class TestRoiAlignGrad:
+    def test_grad_finite_with_chunk_padding(self):
+        """Chunk-padding rows must not leak 0/0 NaNs into feature grads."""
+        import jax
+        from ampis_tpu.ops.roi_align import (pack_feature_levels,
+                                             roi_align_packed)
+        rs = np.random.RandomState(0)
+        feat = jnp.asarray(rs.rand(24, 32, 8).astype(np.float32))
+        boxes = jnp.asarray([[0., 0., 0., 0.],      # zeroed padding box
+                             [10., 10., 50., 60.],
+                             [120., 90., 128., 96.]])
+        levels = jnp.zeros(3, jnp.int32)
+
+        def loss(f):
+            packed = pack_feature_levels([f])
+            out = roi_align_packed(packed, boxes, levels, strides=(4,),
+                                   output_size=7, max_sr=2,
+                                   sampling_ratio=0, chunk=4)
+            return out.astype(jnp.float32).sum()
+
+        g = jax.grad(loss)(feat)
+        assert bool(jnp.isfinite(g).all())
+
+
 class TestPaste:
     def test_matches_host_codec(self):
         from ampis_tpu import rle
