@@ -32,6 +32,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+LANE = 128
+
 
 def assign_levels(boxes, min_level=2, max_level=5, canonical_level=4,
                   canonical_size=224.0):
@@ -95,15 +97,19 @@ def _interp_axis(coord, size):
 
 
 @partial(jax.jit, static_argnames=("output_size", "max_sr", "strides",
-                                   "sampling_ratio", "chunk"))
+                                   "sampling_ratio", "chunk", "use_pallas"))
 def roi_align_packed(packed, boxes, levels, *, strides, output_size=7,
-                     max_sr=2, sampling_ratio=0, chunk=256):
+                     max_sr=2, sampling_ratio=0, chunk=256,
+                     use_pallas=None):
     """Pool N boxes from corner-packed FPN levels into (N, P, P, C).
 
     packed: result of pack_feature_levels (flat4, offsets, heights, widths);
     boxes: (N, 4) XYXY image coords; levels: (N,) int32 into the level list;
-    strides: static per-level tuple.
+    strides: static per-level tuple. On TPU the post-gather weighted
+    reduction runs as a Pallas kernel (use_pallas=None autodetects).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if not isinstance(sampling_ratio, int):
         raise TypeError("sampling_ratio must be a static int")
     flat4, offsets, heights, widths = packed
@@ -151,27 +157,45 @@ def roi_align_packed(packed, boxes, levels, *, strides, output_size=7,
     def pool_chunk(args):
         (yl_c, fy_c, ym_c, xl_c, fx_c, xm_c, off_c, w_c, sry_c, srx_c) = args
         B = yl_c.shape[0]
+        # bin-contiguous point order (b, py, qx, sy, sx): the S*S*4 terms
+        # of one output bin are adjacent, so the post-gather reduction is a
+        # single streaming pass
         idx = (off_c[:, None, None, None, None]
-               + yl_c[:, :, :, None, None] * w_c[:, None, None, None, None]
-               + xl_c[:, None, None, :, :])                 # (B, P, S, P, S)
+               + yl_c[:, :, None, :, None] * w_c[:, None, None, None, None]
+               + xl_c[:, None, :, None, :])                 # (B, P, Q, S, S)
         rows = jnp.take(flat4, idx.reshape(B, -1), axis=0)  # (B, pts, 4C)
-        rows = rows.reshape(B, P, S, P, S, 4, C)
-        # combined corner weights; invalid/unused points weigh zero
+        # combined corner weights; invalid/unused points weigh zero;
+        # fold in the adaptive-average normalization. Chunk-padding rows
+        # carry sr = 0: clamp so 0/0 NaNs can't leak into the feature
+        # gradients through the backward scatter.
         wy = jnp.stack([1.0 - fy_c, fy_c], axis=-1)         # (B, P, S, 2)
         wx = jnp.stack([1.0 - fx_c, fx_c], axis=-1)
-        valid = (ym_c[:, :, :, None, None]
-                 & xm_c[:, None, None, :, :]).astype(jnp.float32)
-        w4 = (wy[:, :, :, None, None, :, None]
-              * wx[:, None, None, :, :, None, :]).reshape(
-                  B, P, S, P, S, 4) * valid[..., None]
-        # one contraction fuses the corner combine and the sub-grid sum
-        # (avoids materializing the fp32 broadcast product)
-        vals = jnp.einsum("bpsqtkc,bpsqtk->bpqc", rows, w4,
-                          preferred_element_type=jnp.float32)
-        # chunk-padding rows carry sr = 0: clamp so 0/0 NaNs can't leak
-        # into the feature gradients through the backward scatter
+        valid = (ym_c[:, :, None, :, None]
+                 & xm_c[:, None, :, None, :]).astype(jnp.float32)
         count = jnp.maximum((sry_c * srx_c).astype(jnp.float32), 1.0)
-        pooled = vals / count[:, None, None, None]
+        w4 = (wy[:, :, None, :, None, :, None]
+              * wx[:, None, :, None, :, None, :]).reshape(
+                  B, P, P, S, S, 4) * valid[..., None] \
+            / count[:, None, None, None, None, None]        # (B,P,Q,S,S,4)
+
+        n_bins = B * P * P
+        terms = S * S * 4
+        if use_pallas and C % LANE == 0 and n_bins % 256 == 0:
+            from .pallas_kernels import combine_pooled
+            rows2 = rows.reshape(n_bins, terms * C)
+            pad_t = (-terms) % LANE
+            w2 = jnp.pad(w4.reshape(n_bins, terms), ((0, 0), (0, pad_t)))
+            pooled = combine_pooled(rows2, w2, channels=C,
+                                    block=256).reshape(B, P, P, C)
+        else:
+            r = rows.reshape(B, P, P, S * S, 4, C)
+            w = w4.reshape(B, P, P, S * S, 4)
+            acc = jnp.zeros((B, P, P, C), jnp.float32)
+            for j in range(S * S):
+                for k in range(4):
+                    acc = acc + (r[:, :, :, j, k, :].astype(jnp.float32)
+                                 * w[:, :, :, j, k, None])
+            pooled = acc
         return pooled.astype(fdtype)
 
     n_chunks = math.ceil(n / chunk)
