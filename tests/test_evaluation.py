@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+from ampis_tpu import rle as RLE
+from ampis_tpu.evaluation import evaluate_mask_ap
+
+
+def _mask(h, w, r0, c0, rh, cw):
+    m = np.zeros((h, w), np.uint8, order="F")
+    m[r0:r0 + rh, c0:c0 + cw] = 1
+    return RLE.encode(np.asfortranarray(m))
+
+
+def test_perfect_predictions_ap1():
+    gt = [_mask(32, 32, 2, 2, 10, 10), _mask(32, 32, 18, 18, 8, 8)]
+    preds = (gt, np.asarray([0.9, 0.8]))
+    out = evaluate_mask_ap([gt], [preds])
+    assert out["AP"] == pytest.approx(1.0, abs=1e-6)
+    assert out["AP50"] == pytest.approx(1.0, abs=1e-6)
+    assert out["AR"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_missed_instance_halves_recall():
+    gt = [_mask(32, 32, 2, 2, 10, 10), _mask(32, 32, 18, 18, 8, 8)]
+    preds = ([gt[0]], np.asarray([0.9]))
+    out = evaluate_mask_ap([gt], [preds])
+    # one of two found perfectly: precision 1 up to recall 0.5
+    assert out["AP50"] == pytest.approx(51 / 101, abs=1e-6)
+    assert out["AR"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_false_positive_lowers_ap():
+    gt = [_mask(32, 32, 2, 2, 10, 10)]
+    # high-scoring FP ranked above the TP
+    preds = ([_mask(32, 32, 20, 20, 5, 5), gt[0]], np.asarray([0.95, 0.9]))
+    out = evaluate_mask_ap([gt], [preds])
+    # precision at full recall is 0.5, first point (recall 0) interpolates
+    assert 0.4 < out["AP50"] <= 0.51
+
+
+def test_localization_quality_spreads_over_thresholds():
+    gt = [_mask(64, 64, 10, 10, 20, 20)]
+    # shifted prediction: IoU ~ (20-4)/(2*20*20/... compute: overlap 16x20
+    shifted = _mask(64, 64, 10, 14, 20, 20)
+    iou = RLE.iou([shifted], gt, np.zeros(1, bool))[0, 0]
+    preds = ([shifted], np.asarray([0.9]))
+    out = evaluate_mask_ap([gt], [preds])
+    for thr, ap in out["per_iou"].items():
+        if thr <= iou:
+            assert ap == pytest.approx(1.0, abs=1e-6)
+        else:
+            assert ap == 0.0
+
+
+def test_multi_image_aggregation():
+    gt1 = [_mask(32, 32, 2, 2, 10, 10)]
+    gt2 = [_mask(32, 32, 4, 4, 12, 12)]
+    out = evaluate_mask_ap(
+        [gt1, gt2],
+        [(gt1, np.asarray([0.9])), (gt2, np.asarray([0.8]))])
+    assert out["AP"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_shipped_predictions_against_gt(reference_root):
+    """Mask AP of the reference model's own shipped predictions vs the VIA
+    ground truth (powder validation image) — pins the whole pipeline:
+    polygon rasterization, RLE IoU, matching, AP math."""
+    from ampis_tpu import data_utils
+    from ampis_tpu.compat import load_pickle
+    from ampis_tpu.structures import InstanceSet
+    from ampis_tpu import analyze
+
+    dd = data_utils.get_ddicts(
+        'via2', reference_root / "examples/powder/data/via_2.0.8/"
+        "via_powder_particle_masks_validation.json")
+    preds = load_pickle(
+        reference_root / "examples/powder/data/sample_particle_outputs.pickle")
+    pred_sets = [InstanceSet().read_from_model_out(o, inplace=False)
+                 for o in preds]
+    gt_sets = [InstanceSet().read_from_ddict(d, inplace=False) for d in dd]
+    gt_sets, pred_sets = analyze.align_instance_sets(gt_sets, pred_sets)
+    assert len(gt_sets) == 1
+    out = evaluate_mask_ap(gt_sets, pred_sets)
+    # detectron2-quality predictions on their own training distribution
+    assert out["AP50"] > 0.7
+    assert out["AP"] > 0.4
+    assert out["AP"] <= out["AP50"]
