@@ -17,7 +17,7 @@ gradient all-reduce (ampis_tpu.parallel).
 from __future__ import annotations
 
 import time
-from functools import partial
+
 from pathlib import Path
 
 import jax
@@ -37,13 +37,25 @@ LOSS_KEYS = ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
              "loss_mask")
 
 
-def build_lr_schedule(cfg):
-    """Linear warmup + multistep gamma decay (detectron2 WarmupMultiStepLR)."""
+def build_lr_schedule(cfg, host=False):
+    """Linear warmup + multistep gamma decay (detectron2 WarmupMultiStepLR).
+
+    host=True returns a pure-python mirror (for logging: eager jnp ops
+    would round-trip the device tunnel every step).
+    """
     base = cfg.SOLVER.BASE_LR
     steps = sorted(cfg.SOLVER.STEPS)
     gamma = cfg.SOLVER.GAMMA
     warmup_iters = cfg.SOLVER.WARMUP_ITERS
     warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+
+    if host:
+        def schedule_host(step):
+            alpha = min(max(step / max(warmup_iters, 1), 0.0), 1.0)
+            warmup = warmup_factor * (1 - alpha) + alpha
+            decay = gamma ** sum(1 for s in steps if step >= s)
+            return base * warmup * decay
+        return schedule_host
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -132,6 +144,8 @@ class Trainer:
             self.params = replicate(self.params, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
 
+        self._build_step_fns()
+
     # ------------------------------------------------------------------ API
 
     def register_hook(self, hook, index=None):
@@ -159,40 +173,42 @@ class Trainer:
         return self
 
     # ----------------------------------------------------------- jit steps
+    # Built as plain closure-jitted functions (not method-jits): donated
+    # method-jits stalled the axon remote backend on re-execution.
 
-    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"))
-    def _loss_fn(self, params, images, gt_boxes, gt_classes, gt_valid,
-                 gt_masks, rng, new_shape, canvas):
+    def _build_step_fns(self):
+        model = self.model
+        tx = self.tx
         mean = tuple(self.cfg.MODEL.PIXEL_MEAN)
         std = tuple(self.cfg.MODEL.PIXEL_STD)
-        batch = jax.vmap(
-            lambda im: preprocess_image(im, new_shape, canvas, mean, std)
-        )(images)
-        sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
-                         (images.shape[0], 1))
-        losses = self.model.apply(params, batch, sizes, gt_boxes, gt_classes,
-                                  gt_valid, gt_masks, rng,
-                                  method=MaskRCNN.losses)
-        return sum(losses.values()), losses
 
-    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"),
-             donate_argnames=("params", "opt_state"))
-    def _train_step(self, params, opt_state, images, gt_boxes, gt_classes,
-                    gt_valid, gt_masks, rng, new_shape, canvas):
-        grad_fn = jax.value_and_grad(
-            lambda p: self._loss_fn(p, images, gt_boxes, gt_classes,
-                                    gt_valid, gt_masks, rng, new_shape,
-                                    canvas), has_aux=True)
-        (total, losses), grads = grad_fn(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, total, losses
+        def loss_fn(params, images, gt_boxes, gt_classes, gt_valid,
+                    gt_masks, rng, new_shape, canvas):
+            batch = jax.vmap(
+                lambda im: preprocess_image(im, new_shape, canvas, mean, std)
+            )(images)
+            sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                             (images.shape[0], 1))
+            losses = model.apply(params, batch, sizes, gt_boxes, gt_classes,
+                                 gt_valid, gt_masks, rng,
+                                 method=MaskRCNN.losses)
+            return sum(losses.values()), losses
 
-    def __hash__(self):
-        return id(self)
+        def train_step(params, opt_state, images, gt_boxes, gt_classes,
+                       gt_valid, gt_masks, rng, new_shape, canvas):
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, images, gt_boxes, gt_classes,
+                                       gt_valid, gt_masks, rng, new_shape,
+                                       canvas)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_opt_state, total, losses
 
-    def __eq__(self, other):
-        return self is other
+        self._loss_fn = jax.jit(loss_fn,
+                                static_argnames=("new_shape", "canvas"))
+        self._train_step = jax.jit(
+            train_step, static_argnames=("new_shape", "canvas"),
+            donate_argnames=("params", "opt_state"))
 
     # ------------------------------------------------------------ run loop
 
@@ -219,15 +235,17 @@ class Trainer:
         end = self.max_iter if max_iter is None else max_iter
         it = self.train_loader.infinite()
         t_last = time.time()
+        schedule_host = build_lr_schedule(self.cfg, host=True)
         for self.iter in range(start, end):
             self.storage.iter = self.iter
             batch = next(it)
             total, losses = self.run_step(batch)
-            total = float(total)
-            self.storage.put_scalar("total_loss", total)
+            # one host transfer for all scalars (the tunnel RTT dominates)
+            total, losses = jax.device_get((total, losses))
+            self.storage.put_scalar("total_loss", float(total))
             for k, v in losses.items():
                 self.storage.put_scalar(k, float(v))
-            self.storage.put_scalar("lr", float(self.schedule(self.iter)))
+            self.storage.put_scalar("lr", schedule_host(self.iter))
             now = time.time()
             self.storage.put_scalar("time", now - t_last)
             t_last = now
@@ -261,4 +279,5 @@ class Trainer:
             self.params, arrays["images"], arrays["gt_boxes"],
             arrays["gt_classes"], arrays["gt_valid"], arrays["gt_masks"],
             rng, tuple(batch["new_shape"]), tuple(batch["canvas"]))
+        losses = jax.device_get(losses)
         return {k: float(v) for k, v in losses.items()}

@@ -39,8 +39,10 @@ def _gather_image(gt, pred):
         scores = (np.asarray(pred.instances.scores)
                   if pred.instances.has("scores")
                   else np.ones(len(pred_rles)))
-    elif isinstance(pred, dict) and "pred" in pred:  # format_outputs schema
-        inst = pred["pred"]["instances"]
+    elif isinstance(pred, dict) and ("pred" in pred or "instances" in pred):
+        # format_outputs schema or raw predictor output
+        inst = pred["pred"]["instances"] if "pred" in pred \
+            else pred["instances"]
         masks = inst.pred_masks
         pred_rles = masks.to_rle() if hasattr(masks, "to_rle") else masks
         scores = np.asarray(inst.scores)

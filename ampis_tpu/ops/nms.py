@@ -26,6 +26,11 @@ from .box_ops import pairwise_iou
 
 NEG_INF = -1e10
 
+# Exactness bound for the Jacobi sweep: results match greedy NMS exactly
+# whenever the longest suppression chain is shorter than this (trained
+# detectors: < ~20). Bounds latency on degenerate inputs.
+MAX_SWEEPS = 128
+
 
 def nms_mask(boxes, scores, valid, iou_threshold):
     """Greedy NMS. Returns a bool keep-mask in the original box order.
@@ -46,11 +51,15 @@ def nms_mask(boxes, scores, valid, iou_threshold):
     suppress = (iou > iou_threshold) & higher & v[:, None]
 
     # After t sweeps every box whose suppression-chain depth is <= t holds
-    # its final value, so n sweeps are always sufficient: the t < n cap
-    # bounds the loop without changing the result.
+    # its final value. Trained detectors produce chains well under ~20; the
+    # static MAX_SWEEPS cap bounds worst-case latency on degenerate inputs
+    # (e.g. untrained nets emitting massive score ties), where chains can
+    # reach n and each extra sweep costs a full masked (n, n) reduction.
+    max_sweeps = min(n, MAX_SWEEPS)
+
     def cond(state):
         keep, prev, t = state
-        return jnp.any(keep != prev) & (t < n)
+        return jnp.any(keep != prev) & (t < max_sweeps)
 
     def body(state):
         keep, _, t = state
