@@ -1,0 +1,165 @@
+"""Powder example: the reference's tutorial workflow on ampis_tpu.
+
+Mirrors `colab/AMPIS Tutorial.ipynb` (the reference's de-facto integration
+test, SURVEY.md §3): register VIA2 datasets, visualize ground truth,
+load predictions (shipped sample pickles by default, or run the TPU
+predictor with --weights), evaluate detection/segmentation scores and mask
+AP, match satellites to particles, and compute the particle size
+distribution.
+
+Usage:
+    python examples/powder_workflow.py --data /root/reference/examples/powder/data \
+        [--weights /path/to/ckpt_or_d2.pkl] [--train] [--outdir ./powder_out]
+"""
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ampis_tpu import analyze, data_utils, structures, visualize  # noqa: E402
+from ampis_tpu.applications import powder  # noqa: E402
+from ampis_tpu.compat import load_pickle  # noqa: E402
+from ampis_tpu.engine import DatasetCatalog, MetadataCatalog, get_cfg  # noqa: E402
+from ampis_tpu.evaluation import evaluate_mask_ap  # noqa: E402
+
+
+def register(data_root: Path):
+    via = data_root / "via_2.0.8"
+    names = {}
+    for thing, cls in (("particle", "particle"), ("satellite", "satellite")):
+        for split in ("training", "validation"):
+            json_path = via / f"via_powder_{thing}_masks_{split}.json"
+            name = f"powder_{thing}_{split.capitalize()}"
+            DatasetCatalog.register(
+                name, lambda p=json_path, s=split.capitalize():
+                data_utils.get_ddicts("via2", p, dataset_class=s))
+            MetadataCatalog.get(name).set(thing_classes=[cls])
+            names[(thing, split)] = name
+    return names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/examples/powder/data")
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint dir or detectron2 .pkl; if unset "
+                         "the shipped sample prediction pickles are used")
+    ap.add_argument("--train", action="store_true",
+                    help="fine-tune on the training split before predicting")
+    ap.add_argument("--outdir", default="./powder_out")
+    args = ap.parse_args()
+
+    data_root = Path(args.data)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    names = register(data_root)
+
+    # --- 1. GT visualization (notebook cells 14-16) ---
+    ddicts_val = DatasetCatalog.get(names[("particle", "validation")])
+    visualize.display_ddicts(ddicts_val[0], outpath=outdir,
+                             dataset=names[("particle", "validation")],
+                             gt=True, summary=True)
+    print(f"wrote GT overlay to {outdir}")
+
+    # --- 2. predictions ---
+    if args.weights or args.train:
+        cfg = get_cfg()
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+        cfg.TEST.DETECTIONS_PER_IMAGE = 400
+        cfg.DATASETS.TRAIN = (names[("particle", "training")],)
+        cfg.DATASETS.TEST = (names[("particle", "validation")],)
+        if args.weights:
+            cfg.MODEL.WEIGHTS = args.weights
+        if args.train:
+            cfg.SOLVER.IMS_PER_BATCH = 1
+            cfg.SOLVER.MAX_ITER = 2000
+            cfg.SOLVER.CHECKPOINT_PERIOD = 400
+            cfg.SOLVER.BASE_LR = 2.5e-4
+            cfg.OUTPUT_DIR = str(outdir / "train")
+            from ampis_tpu.data_utils import AmpisTrainer
+            trainer = AmpisTrainer(cfg)
+            trainer.resume_or_load(resume=False)
+            trainer.train()
+            from ampis_tpu.engine.checkpoint import latest_checkpoint
+            cfg.MODEL.WEIGHTS = str(latest_checkpoint(cfg.OUTPUT_DIR))
+        from ampis_tpu.engine.predictor import DefaultPredictor
+        from ampis_tpu.utils.io import imread_bgr
+        predictor = DefaultPredictor(cfg)
+        particle_results = []
+        for d in DatasetCatalog.get(names[("particle", "validation")]):
+            out = predictor(imread_bgr(d["file_name"]))
+            particle_results.append(data_utils.format_outputs(
+                d["file_name"], "particle_Validation", out))
+        with open(outdir / "particle_predictions.pickle", "wb") as f:
+            pickle.dump(particle_results, f)
+        satellite_results = load_pickle(
+            data_root / "sample_satellite_outputs.pickle")
+    else:
+        particle_results = load_pickle(
+            data_root / "sample_particle_outputs.pickle")
+        satellite_results = load_pickle(
+            data_root / "sample_satellite_outputs.pickle")
+
+    pred_sets = [structures.InstanceSet().read_from_model_out(o,
+                                                              inplace=False)
+                 for o in particle_results]
+    sat_sets = [structures.InstanceSet().read_from_model_out(o,
+                                                             inplace=False)
+                for o in satellite_results]
+
+    # --- 3. evaluation vs GT (notebook cells 34-46) ---
+    gt_sets = [structures.InstanceSet().read_from_ddict(d, inplace=False)
+               for d in ddicts_val]
+    gt_m, pred_m = analyze.align_instance_sets(gt_sets, pred_sets)
+    for gt, pr in zip(gt_m, pred_m):
+        scores = analyze.det_seg_scores(gt, pr,
+                                        size=gt.instances.image_size)
+        print(f"{Path(gt.filepath).name}: det P={scores['det_precision']:.3f}"
+              f" R={scores['det_recall']:.3f} "
+              f"seg P={np.median(scores['seg_precision']):.3f} "
+              f"R={np.median(scores['seg_recall']):.3f}")
+    if gt_m:
+        ap_out = evaluate_mask_ap(gt_m, pred_m)
+        print("mask AP:", {k: round(v, 3) for k, v in ap_out.items()
+                           if k != "per_iou"})
+
+    # detection-performance overlay (notebook cells 47-50)
+    if gt_m:
+        iset_perf, colormap = analyze.det_perf_iset(gt_m[0], pred_m[0])
+        from ampis_tpu.utils.io import imread
+        img = imread(gt_m[0].filepath)
+        fig, ax = plt.subplots(figsize=(8, 5), dpi=150)
+        visualize.display_iset(np.stack([img] * 3, -1) if img.ndim == 2
+                               else img, iset_perf, ax=ax)
+        fig.savefig(outdir / "det_perf.png", bbox_inches="tight")
+        plt.close(fig)
+
+    # --- 4. satellite matching + measurements (cells 56-66) ---
+    p_al, s_al = analyze.align_instance_sets(pred_sets, sat_sets)
+    psis = []
+    for p, s in zip(p_al, s_al):
+        psi = powder.PowderSatelliteImage(particles=p, satellites=s)
+        psi.compute_matches()
+        psis.append(psi)
+    powder.satellite_measurements(psis, print_summary=True)
+
+    # --- 5. particle size distribution (cells 52-55) ---
+    fig, ax = plt.subplots(dpi=150)
+    powder.psd(p_al, xvals="d_eq", yvals="cvf", c=(1036 / 1536, "um"),
+               ax=ax, plot=False)
+    fig.savefig(outdir / "psd.png", bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote PSD curve to {outdir / 'psd.png'}")
+    print("POWDER_WORKFLOW_OK")
+
+
+if __name__ == "__main__":
+    main()
