@@ -71,26 +71,49 @@ def _perimeter(crop: np.ndarray) -> float:
 
 
 def _convex_hull_area(rows, cols) -> float:
-    """Pixel count of the filled convex hull of the pixel centers."""
+    """Pixel count of the filled convex hull of the pixel centers.
+
+    Row-wise: for each pixel row the hull is an interval [xl, xr] found by
+    intersecting the row with every hull edge — O(rows x edges) instead of
+    O(bbox_area x edges).
+    """
     if rows.size <= 2:
         return float(rows.size)
-    pts = np.stack([rows, cols], axis=1).astype(np.float64)
-    hull = _monotone_chain(np.unique(pts, axis=0))
+    # hull candidates: per-row extreme columns only (2 points per row)
+    order = np.lexsort((cols, rows))
+    r_sorted, c_sorted = rows[order], cols[order]
+    _, first = np.unique(r_sorted, return_index=True)
+    last = np.concatenate([first[1:] - 1, [r_sorted.size - 1]])
+    cand = np.concatenate([
+        np.stack([r_sorted[first], c_sorted[first]], 1),
+        np.stack([r_sorted[last], c_sorted[last]], 1)]).astype(np.float64)
+    hull = _monotone_chain(np.unique(cand, axis=0))
     if hull.shape[0] < 3:
         return float(rows.size)
-    # rasterize hull over the crop grid: point-in-convex-polygon test
-    r0, c0 = rows.min(), cols.min()
-    rr = np.arange(r0, rows.max() + 1)
-    cc = np.arange(c0, cols.max() + 1)
-    gr = rr[:, None, None].astype(np.float64)
-    gc = cc[None, :, None].astype(np.float64)
-    a = hull
+    a = hull                       # (E, 2) as (r, c)
     b = np.roll(hull, -1, axis=0)
-    # cross product sign for each edge; hull is counter-clockwise
-    cross = ((b[:, 0] - a[:, 0]) * (gc - a[:, 1])
-             - (b[:, 1] - a[:, 1]) * (gr - a[:, 0]))
-    inside = np.all(cross <= 1e-9, axis=2) | np.all(cross >= -1e-9, axis=2)
-    return float(inside.sum())
+    rr = np.arange(rows.min(), rows.max() + 1).astype(np.float64)  # (R,)
+
+    ar, ac = a[:, 0][None, :], a[:, 1][None, :]   # (1, E)
+    br, bc = b[:, 0][None, :], b[:, 1][None, :]
+    y = rr[:, None]                                # (R, 1)
+    dr = br - ar
+    # edges crossing this row (inclusive, tolerate horizontal edges)
+    lo = np.minimum(ar, br) - 1e-9
+    hi = np.maximum(ar, br) + 1e-9
+    crosses = (y >= lo) & (y <= hi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(dr) > 1e-12, (y - ar) / dr, 0.0)
+    x_at = ac + t * (bc - ac)
+    # horizontal edges contribute both endpoints
+    x_horiz_lo = np.where(np.abs(dr) <= 1e-12, np.minimum(ac, bc), np.inf)
+    x_horiz_hi = np.where(np.abs(dr) <= 1e-12, np.maximum(ac, bc), -np.inf)
+    x_cand_lo = np.where(crosses, np.minimum(x_at, x_horiz_lo), np.inf)
+    x_cand_hi = np.where(crosses, np.maximum(x_at, x_horiz_hi), -np.inf)
+    xl = x_cand_lo.min(axis=1)
+    xr = x_cand_hi.max(axis=1)
+    counts = np.floor(xr + 1e-9) - np.ceil(xl - 1e-9) + 1
+    return float(np.maximum(counts, 0).sum())
 
 
 def _monotone_chain(pts: np.ndarray) -> np.ndarray:
