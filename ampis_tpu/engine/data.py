@@ -151,8 +151,7 @@ class DetectionLoader:
                     [idx, order[:bs - len(idx)]])  # wrap to keep shape
             yield self._make_batch(idx, self.min_sizes[0])
 
-    def infinite(self):
-        """Training stream: shuffled epochs, per-batch scale jitter."""
+    def _epochs(self):
         while True:
             order = self.rng.permutation(len(self.ddicts))
             bs = self.batch_size
@@ -160,6 +159,44 @@ class DetectionLoader:
                 min_size = self.min_sizes[
                     self.rng.randint(len(self.min_sizes))]
                 yield self._make_batch(order[i:i + bs], min_size)
+
+    def infinite(self, prefetch: int = 2):
+        """Training stream: shuffled epochs, per-batch scale jitter.
+
+        Batches are prepared on a background thread (image decode, polygon
+        rasterization, GT padding) so host input work overlaps the device
+        step — the double-buffered host pipeline of the TPU design
+        (SURVEY.md §7 step 7). prefetch=0 disables the thread.
+        """
+        if prefetch <= 0:
+            yield from self._epochs()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in self._epochs():
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+            except BaseException as e:  # surface loader errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def loader_from_config(cfg, dataset_name, train: bool, **kwargs):
