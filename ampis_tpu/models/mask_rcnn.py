@@ -27,6 +27,7 @@ import numpy as np
 from ..ops import box_ops
 from ..ops.roi_align import (assign_levels, crop_and_resize_masks,
                              pack_feature_levels, roi_align_packed)
+from ..ops.roi_align_fused import concat_feature_levels, roi_align_windows
 from .anchors import multilevel_anchors
 from .fpn import FPN
 from .resnet import ResNet
@@ -72,6 +73,11 @@ class MaskRCNN(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
     roi_chunk: int = 256
+    # window-DMA Pallas RoIAlign on the inference path (TPU backends only;
+    # exact for RoIs whose footprint on their FPN level spans < roi_window
+    # px — see ops.roi_align_fused)
+    fused_roi: bool = True
+    roi_window: int = 32
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
@@ -137,6 +143,18 @@ class MaskRCNN(nn.Module):
             output_size=resolution, max_sr=self.pooler_max_sr,
             sampling_ratio=self.pooler_sampling_ratio, chunk=self.roi_chunk)
 
+    def _pool_fused(self, pack, boxes, valid, resolution):
+        """Window-DMA Pallas RoIAlign (inference hot path on TPU)."""
+        b, k = boxes.shape[:2]
+        flat = jnp.where(valid.reshape(-1, 1), boxes.reshape(-1, 4), 0.0)
+        levels = assign_levels(flat)
+        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES)
+        return roi_align_windows(
+            pack, flat, img_idx, levels, valid.reshape(-1),
+            strides=strides, output_size=resolution,
+            max_sr=self.pooler_max_sr, window=self.roi_window)
+
     # -- inference ----------------------------------------------------------
 
     def inference(self, images, image_sizes):
@@ -156,9 +174,16 @@ class MaskRCNN(nn.Module):
             logits, deltas, anchors, image_sizes, train=False)
         k = proposals.shape[1]
 
-        packed, strides = self._packed_features(feats, b)
-        pooled = self._pool(packed, strides, proposals, prop_valid,
-                            self.box_pooler_resolution)
+        use_fused = self.fused_roi and jax.default_backend() == "tpu"
+        if use_fused:
+            pack = concat_feature_levels(
+                [feats[f] for f in BOX_FEATURES], window=self.roi_window)
+            pooled = self._pool_fused(pack, proposals, prop_valid,
+                                      self.box_pooler_resolution)
+        else:
+            packed, strides = self._packed_features(feats, b)
+            pooled = self._pool(packed, strides, proposals, prop_valid,
+                                self.box_pooler_resolution)
         cls_logits, box_deltas = self.box_head(pooled)     # (B*K, C+1/C*4)
         probs = jax.nn.softmax(cls_logits, axis=-1).reshape(
             b, k, self.num_classes + 1)
@@ -176,8 +201,14 @@ class MaskRCNN(nn.Module):
         dets = jax.vmap(one)(reg_boxes, probs, prop_valid, image_sizes)
 
         d = dets["boxes"].shape[1]
-        mask_pooled = self._pool(packed, strides, dets["boxes"],
-                                 dets["valid"], self.mask_pooler_resolution)
+        if use_fused:
+            mask_pooled = self._pool_fused(pack, dets["boxes"],
+                                           dets["valid"],
+                                           self.mask_pooler_resolution)
+        else:
+            mask_pooled = self._pool(packed, strides, dets["boxes"],
+                                     dets["valid"],
+                                     self.mask_pooler_resolution)
         mask_logits = self.mask_head(mask_pooled)          # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         cls = jnp.clip(dets["classes"].reshape(-1), 0, self.num_classes - 1)

@@ -1,0 +1,229 @@
+"""Window-DMA RoIAlign: a Pallas TPU kernel with zero gathers.
+
+Replaces the gather-based pooling in ops.roi_align on the inference hot
+path. Motivation (measured on v5e): XLA row gathers cost ~18 ns/row
+regardless of row width, and the corner-packed design needs P*P*S*S = 196
+gathered rows per RoI -> 8k proposals = 1.57M rows = ~29 ms for the gather
+alone, ~77 ms for the full box pool.
+
+TPU-first redesign:
+
+* FPN levels are concatenated along H into ONE dense (B, Hcat, Wpad, C)
+  tensor (W zero-padded to the widest level; levels shorter than the
+  window zero-padded in H). No 4x corner packing.
+* One grid step per RoI. The kernel DMAs the RoI's (window x window x C)
+  feature patch HBM->VMEM (contiguous rows, double-buffered across grid
+  steps) — fixed-size, so the copy engine streams it at full bandwidth.
+* Bilinear interpolation over the patch is two small MXU matmuls with
+  per-RoI "hat" weight matrices W[s, k] = relu(1 - |coord_s - k|) built in
+  XLA: interpolate in y, then in x, then average the S*S sub-samples per
+  bin. Hat weights reproduce ROIAlignV2 (aligned=True) corner weights
+  exactly, including border clamping; out-of-range samples ([-1, size]
+  rule) and adaptive sub-sample masking zero their weight rows while the
+  1/(sr_y*sr_x) normalization is folded in.
+
+Exactness: identical to ops.roi_align.roi_align_packed whenever the RoI's
+sampling footprint on its assigned FPN level fits in the window (default
+32). With detectron2 level assignment the footprint is <= ~15 px for
+canonically-assigned boxes; only boxes clamped at p5 with a side
+> (window-1)*32 = 992 px exceed it (for SEM particle workloads: never).
+Oversized footprints clamp their outermost sample coordinates into the
+window (graceful degradation, not an error).
+
+Reference parity target: detectron2/torchvision ROIAlignV2 as exercised by
+the reference via its box/mask heads (SURVEY.md §2b).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+X_ALIGN = 8  # HBM sublane tiling: DMA x-origins must be 8-aligned
+
+
+def concat_feature_levels(features, *, window=32):
+    """Concatenate per-level NHWC maps along H for window pooling.
+
+    features: list of (B, H_l, W_l, C) arrays (one per FPN level, same B/C).
+    Levels are zero-padded to max(W_l) in W and to >= window in H, then
+    concatenated along H. Returns (concat, y_offsets, heights, widths) with
+    the static per-level geometry as python tuples.
+    """
+    b, _, _, c = features[0].shape
+    heights = tuple(int(f.shape[1]) for f in features)
+    widths = tuple(int(f.shape[2]) for f in features)
+    w_pad = -(-max(max(widths), window + X_ALIGN) // X_ALIGN) * X_ALIGN
+    parts = []
+    y_off = []
+    off = 0
+    for f, h, w in zip(features, heights, widths):
+        hp = max(h, window)
+        parts.append(jnp.pad(f, ((0, 0), (0, hp - h), (0, w_pad - w),
+                                 (0, 0))))
+        y_off.append(off)
+        off += hp
+    return (jnp.concatenate(parts, axis=1), tuple(y_off), heights, widths)
+
+
+def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
+    """Per-RoI hat weight matrix for one axis.
+
+    lo/hi: (N,) box extent in level coords (already scaled, -0.5 shifted);
+    size: (N,) true level extent; size_pad: (N,) padded extent in the
+    concat tensor; align: origin alignment (the window must absorb
+    ``align - 1`` extra columns when > 1). Returns (w (N, P*S, window)
+    f32, origin (N,) int32).
+    """
+    span = hi - lo
+    bin_sz = span / P
+    sr = jnp.clip(jnp.ceil(span / P), 1, S).astype(jnp.int32)
+    pbin = jnp.arange(P, dtype=jnp.float32)
+    ssub = jnp.arange(S, dtype=jnp.float32)
+    # sample coords, (N, P, S), ordered (bin, sub-sample)
+    coords = (lo[:, None, None] + pbin[None, :, None] * bin_sz[:, None, None]
+              + (ssub[None, None, :] + 0.5) * bin_sz[:, None, None]
+              / sr[:, None, None].astype(jnp.float32))
+    used = (ssub[None, None, :] < sr[:, None, None])
+    in_range = (coords >= -1.0) & (coords <= size[:, None, None])
+    sizef = size.astype(jnp.float32)
+    cl = jnp.clip(coords, 0.0, (sizef - 1.0)[:, None, None])
+    origin = jnp.clip(jnp.floor(cl.min(axis=(1, 2))).astype(jnp.int32),
+                      0, size_pad - window)
+    if align > 1:
+        origin = (origin // align) * align
+    rel = jnp.clip(cl - origin.astype(jnp.float32)[:, None, None],
+                   0.0, window - 1.0)
+    rel = rel.reshape(rel.shape[0], P * S)
+    mask = (used & in_range).reshape(rel.shape)
+    grid = jnp.arange(window, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - grid[None, None, :]))
+    w = w * (mask.astype(jnp.float32)
+             / sr.astype(jnp.float32)[:, None])[:, :, None]
+    return w, origin
+
+
+@partial(jax.jit, static_argnames=("strides", "heights", "widths",
+                                   "y_offsets", "output_size", "max_sr",
+                                   "window"))
+def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
+             y_offsets, output_size, max_sr, window):
+    """XLA-side per-RoI prep: origins (N, 4) int32 + hat weights."""
+    strides_a = jnp.asarray(strides, jnp.float32)
+    heights_a = jnp.asarray(heights, jnp.int32)
+    widths_a = jnp.asarray(widths, jnp.int32)
+    yoff_a = jnp.asarray(y_offsets, jnp.int32)
+    hpad = tuple(max(h, window) for h in heights)
+    hpad_a = jnp.asarray(hpad, jnp.int32)
+    xwin = window + X_ALIGN
+    wpad = -(-max(max(widths), xwin) // X_ALIGN) * X_ALIGN
+
+    scale = 1.0 / strides_a[levels]
+    x0 = boxes[:, 0] * scale - 0.5
+    y0 = boxes[:, 1] * scale - 0.5
+    x1 = boxes[:, 2] * scale - 0.5
+    y1 = boxes[:, 3] * scale - 0.5
+    P, S = output_size, max_sr
+
+    wy, oy = _axis_weights(y0, y1, heights_a[levels], hpad_a[levels],
+                           P=P, S=S, window=window)
+    wx, ox = _axis_weights(x0, x1, widths_a[levels],
+                           jnp.full_like(levels, wpad), P=P, S=S,
+                           window=xwin, align=X_ALIGN)
+    v = valid.astype(jnp.float32)[:, None, None]
+    origins = jnp.stack(
+        [img_idx.astype(jnp.int32), yoff_a[levels] + oy, ox,
+         jnp.zeros_like(ox)], axis=1)
+    return origins, wy * v, wx * v
+
+
+def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
+                       win_scratch, sems, *, window, xwin, P, S, C):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(step):
+        slot = jax.lax.rem(step, 2)
+        img = org_ref[step, 0]
+        ya = org_ref[step, 1]
+        xa = pl.multiple_of(org_ref[step, 2], X_ALIGN)
+        return pltpu.make_async_copy(
+            feat_ref.at[img, pl.ds(ya, window), pl.ds(xa, xwin), :],
+            win_scratch.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        copy(0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy(i + 1).start()
+
+    copy(i).wait()
+    win = win_scratch[jax.lax.rem(i, 2)].astype(jnp.float32)
+    # y interp: (PS, window) @ (window, xwin*C)
+    a = jnp.dot(wy_ref[0], win.reshape(window, xwin * C),
+                preferred_element_type=jnp.float32)
+    # x interp: contract the window-x axis -> (PS_x, PS_y, C)
+    bx = jax.lax.dot_general(
+        wx_ref[0], a.reshape(P * S, xwin, C),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # average S*S sub-samples per bin; axes (px, sx, py, sy, C)
+    pooled = bx.reshape(P, S, P, S, C).sum(axis=(1, 3))
+    out_ref[0] = pooled.transpose(1, 0, 2).astype(out_ref.dtype)
+
+
+def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
+                      strides, output_size=7, max_sr=2, window=32,
+                      interpret=None):
+    """Pool N boxes into (N, P, P, C) with the window-DMA Pallas kernel.
+
+    concat_pack: output of concat_feature_levels (with static geometry);
+    boxes: (N, 4) XYXY image coords; img_idx: (N,) int32; levels: (N,)
+    int32 FPN level index; valid: (N,) bool (invalid rows pool to zero);
+    strides: static per-level stride tuple.
+    """
+    concat, y_offsets, heights, widths = concat_pack
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = boxes.shape[0]
+    C = concat.shape[3]
+    P, S = output_size, max_sr
+    xwin = window + X_ALIGN
+
+    origins, wy, wx = _prepare(
+        boxes, img_idx, levels, valid, strides=strides, heights=heights,
+        widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
+        window=window)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n,),
+        in_specs=[
+            # origins stay whole in VMEM: SMEM prefetch pads each scalar to
+            # 128 B, overflowing SMEM for thousands of RoIs
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, P * S, window), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, P * S, xwin), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, P, C), lambda i: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, xwin, C), concat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_roi_window_kernel, window=window, xwin=xwin, P=P, S=S,
+                     C=C)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, P, P, C), concat.dtype),
+        interpret=interpret,
+    )(origins, concat, wy, wx)

@@ -1,0 +1,112 @@
+"""Window-DMA Pallas RoIAlign vs. the gather-based reference path.
+
+The fused kernel (ops.roi_align_fused) must reproduce
+ops.roi_align.roi_align_packed — itself golden-tested against a numpy
+ROIAlignV2 oracle in test_ops.py — exactly, for every RoI whose sampling
+footprint fits the window. Runs in Pallas interpret mode on the CPU test
+backend.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ampis_tpu.ops.roi_align import (assign_levels, pack_feature_levels,
+                                     roi_align_packed)
+from ampis_tpu.ops.roi_align_fused import (concat_feature_levels,
+                                           roi_align_windows)
+
+STRIDES = (4, 8, 16, 32)
+SHAPES = [(52, 80), (26, 40), (13, 20), (7, 10)]  # canvas 208x320
+
+
+def _random_boxes(rs, n, max_side=120):
+    cx = rs.rand(n) * 280 + 20
+    cy = rs.rand(n) * 180 + 14
+    w = rs.rand(n) * max_side + 6
+    h = rs.rand(n) * max_side + 6
+    return np.stack([np.clip(cx - w / 2, 0, 320),
+                     np.clip(cy - h / 2, 0, 208),
+                     np.clip(cx + w / 2, 0, 320),
+                     np.clip(cy + h / 2, 0, 208)], -1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rs = np.random.RandomState(0)
+    b, c = 2, 256
+    feats = [jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+             for (h, w) in SHAPES]
+    boxes = jnp.asarray(_random_boxes(rs, 64))
+    img_idx = jnp.asarray(rs.randint(0, b, 64), jnp.int32)
+    valid = jnp.asarray(rs.rand(64) > 0.1)
+    return b, feats, boxes, img_idx, valid
+
+
+@pytest.mark.parametrize("res", [7, 14])
+def test_matches_gather_path(setup, res):
+    b, feats, boxes, img_idx, valid = setup
+    levels = assign_levels(boxes)
+
+    feature_list = [feats[lv][i] for i in range(b) for lv in range(4)]
+    packed = pack_feature_levels(feature_list)
+    fb = jnp.where(valid[:, None], boxes, 0.0)
+    ref = np.asarray(roi_align_packed(
+        packed, fb, img_idx * 4 + levels, strides=STRIDES * b,
+        output_size=res, max_sr=2, sampling_ratio=0, chunk=64))
+    ref = ref * np.asarray(valid)[:, None, None, None]
+
+    pack = concat_feature_levels(feats, window=32)
+    out = np.asarray(roi_align_windows(
+        pack, boxes, img_idx, levels, valid, strides=STRIDES,
+        output_size=res, max_sr=2, window=32, interpret=True))
+
+    # boxes whose level footprint fits the 32-px window must be exact
+    lv = np.asarray(levels)
+    bx = np.asarray(boxes)
+    span = np.maximum(bx[:, 2] - bx[:, 0], bx[:, 3] - bx[:, 1]) \
+        / np.asarray(STRIDES)[lv]
+    fits = span < 30.5
+    assert fits.sum() > 40
+    np.testing.assert_allclose(out[fits], ref[fits], atol=2e-5)
+    # oversized footprints degrade gracefully (clamped, finite, masked)
+    assert np.isfinite(out).all()
+    assert (out[~np.asarray(valid)] == 0).all()
+
+
+def test_bf16_and_padding_rows(setup):
+    b, feats, boxes, img_idx, valid = setup
+    feats16 = [f.astype(jnp.bfloat16) for f in feats]
+    levels = assign_levels(boxes)
+    pack = concat_feature_levels(feats16, window=32)
+    out = np.asarray(roi_align_windows(
+        pack, boxes, img_idx, levels, valid, strides=STRIDES,
+        output_size=7, max_sr=2, window=32,
+        interpret=True).astype(jnp.float32))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() > 0
+
+
+def test_small_canvas_levels_pad_to_window():
+    # levels smaller than the window (e.g. tiny canvases) must still pool
+    rs = np.random.RandomState(1)
+    b, c = 1, 256
+    shapes = [(16, 16), (8, 8), (4, 4), (2, 2)]
+    feats = [jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+             for (h, w) in shapes]
+    boxes = jnp.asarray([[4.0, 4.0, 40.0, 40.0], [0.0, 0.0, 60.0, 60.0]])
+    img_idx = jnp.zeros(2, jnp.int32)
+    levels = assign_levels(boxes)
+    valid = jnp.ones(2, bool)
+
+    feature_list = [feats[lv][0] for lv in range(4)]
+    packed = pack_feature_levels(feature_list)
+    ref = np.asarray(roi_align_packed(
+        packed, boxes, levels, strides=STRIDES, output_size=7, max_sr=2,
+        sampling_ratio=0, chunk=2))
+
+    pack = concat_feature_levels(feats, window=32)
+    out = np.asarray(roi_align_windows(
+        pack, boxes, img_idx, levels, valid, strides=STRIDES,
+        output_size=7, max_sr=2, window=32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
