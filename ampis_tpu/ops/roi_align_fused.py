@@ -99,13 +99,17 @@ def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
         origin = (origin // align) * align
     rel = jnp.clip(cl - origin.astype(jnp.float32)[:, None, None],
                    0.0, window - 1.0)
-    rel = rel.reshape(rel.shape[0], P * S)
-    mask = (used & in_range).reshape(rel.shape)
+    mask = used & in_range
     grid = jnp.arange(window, dtype=jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - grid[None, None, :]))
+    w = jnp.maximum(
+        0.0, 1.0 - jnp.abs(rel[..., None] - grid[None, None, None, :]))
     w = w * (mask.astype(jnp.float32)
-             / sr.astype(jnp.float32)[:, None])[:, :, None]
-    return w, origin
+             / sr.astype(jnp.float32)[:, None, None])[..., None]
+    # the S sub-samples only ever enter downstream through their average,
+    # which is linear — fold the sub-sample sum into the weight matrix
+    # ((N, P, S, window) -> (N, P, window)), shrinking the kernel matmuls
+    # S-fold in M and S^2-fold in the x-contraction
+    return w.sum(axis=2), origin
 
 
 @partial(jax.jit, static_argnames=("strides", "heights", "widths",
@@ -142,41 +146,50 @@ def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
     return origins, wy * v, wx * v
 
 
+N_BUF = 4   # DMA pipeline depth: window groups prefetched N_BUF - 1 ahead
+GROUP = 4   # RoIs per grid step (amortizes per-step pipeline overhead)
+
+
 def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
                        win_scratch, sems, *, window, xwin, P, S, C):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def copy(step):
-        slot = jax.lax.rem(step, 2)
-        img = org_ref[step, 0]
-        ya = org_ref[step, 1]
-        xa = pl.multiple_of(org_ref[step, 2], X_ALIGN)
+    def copy(step, g):
+        slot = jax.lax.rem(step, N_BUF)
+        roi = step * GROUP + g
+        img = org_ref[roi, 0]
+        ya = org_ref[roi, 1]
+        xa = pl.multiple_of(org_ref[roi, 2], X_ALIGN)
         return pltpu.make_async_copy(
             feat_ref.at[img, pl.ds(ya, window), pl.ds(xa, xwin), :],
-            win_scratch.at[slot], sems.at[slot])
+            win_scratch.at[slot, g], sems.at[slot, g])
 
     @pl.when(i == 0)
     def _():
-        copy(0).start()
+        for j in range(N_BUF - 1):
+            @pl.when(j < n)
+            def _():
+                for g in range(GROUP):
+                    copy(j, g).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + N_BUF - 1 < n)
     def _():
-        copy(i + 1).start()
+        for g in range(GROUP):
+            copy(i + N_BUF - 1, g).start()
 
-    copy(i).wait()
-    win = win_scratch[jax.lax.rem(i, 2)].astype(jnp.float32)
-    # y interp: (PS, window) @ (window, xwin*C)
-    a = jnp.dot(wy_ref[0], win.reshape(window, xwin * C),
-                preferred_element_type=jnp.float32)
-    # x interp: contract the window-x axis -> (PS_x, PS_y, C)
-    bx = jax.lax.dot_general(
-        wx_ref[0], a.reshape(P * S, xwin, C),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # average S*S sub-samples per bin; axes (px, sx, py, sy, C)
-    pooled = bx.reshape(P, S, P, S, C).sum(axis=(1, 3))
-    out_ref[0] = pooled.transpose(1, 0, 2).astype(out_ref.dtype)
+    for g in range(GROUP):
+        copy(i, g).wait()
+        win = win_scratch[jax.lax.rem(i, N_BUF), g].astype(jnp.float32)
+        # y interp+average: (P, window) @ (window, xwin*C)
+        a = jnp.dot(wy_ref[g], win.reshape(window, xwin * C),
+                    preferred_element_type=jnp.float32)
+        # x interp+average: contract the window-x axis -> (P_x, P_y, C)
+        bx = jax.lax.dot_general(
+            wx_ref[g], a.reshape(P, xwin, C),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[g] = bx.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
 def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
@@ -202,28 +215,36 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
         widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
         window=window)
 
+    pad = (-n) % GROUP
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+    n_pad = n + pad
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n,),
+        grid=(n_pad // GROUP,),
         in_specs=[
             # origins stay whole in VMEM: SMEM prefetch pads each scalar to
             # 128 B, overflowing SMEM for thousands of RoIs
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, P * S, window), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, P * S, xwin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, P, window), lambda i: (i, 0, 0)),
+            pl.BlockSpec((GROUP, P, xwin), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, P, P, C), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((GROUP, P, P, C), lambda i: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window, xwin, C), concat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_BUF, GROUP, window, xwin, C), concat.dtype),
+            pltpu.SemaphoreType.DMA((N_BUF, GROUP)),
         ],
     )
     kernel = partial(_roi_window_kernel, window=window, xwin=xwin, P=P, S=S,
                      C=C)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, P, P, C), concat.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), concat.dtype),
         interpret=interpret,
     )(origins, concat, wy, wx)
+    return out[:n] if pad else out
