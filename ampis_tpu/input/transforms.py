@@ -70,12 +70,8 @@ def _resize_matmul(img, new_shape):
     nh, nw = new_shape
     ry = jnp.asarray(_resize_matrix(h, nh))
     rx = jnp.asarray(_resize_matrix(w, nw))
-    t = jnp.dot(ry, img.reshape(h, w * c),
-                preferred_element_type=jnp.float32)
-    out = jax.lax.dot_general(t.reshape(nh, w, c), rx,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    return out.transpose(0, 2, 1)  # (nh, c, nw) -> (nh, nw, c)
+    t = jnp.einsum("oh,hwc->owc", ry, img)
+    return jnp.einsum("pw,owc->opc", rx, t)
 
 
 @partial(jax.jit, static_argnames=("new_shape", "canvas", "fmt"))

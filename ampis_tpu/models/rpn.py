@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import box_ops
-from ..ops.nms import NEG_INF, batched_nms_mask
+from ..ops.nms import NEG_INF, nms_mask
 
 
 class RPNHead(nn.Module):
@@ -52,26 +52,24 @@ def select_proposals(logits, deltas, anchors, image_size, *,
     logits: list of (n_l,) objectness logits per level;
     deltas: list of (n_l, 4); anchors: list of (n_l, 4) arrays.
     """
-    boxes_all, scores_all, levels_all, valid_all = [], [], [], []
-    for lvl, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
+    boxes_all, scores_all, valid_all = [], [], []
+    for lg, dl, an in zip(logits, deltas, anchors):
         n_l = lg.shape[0]
         k = min(pre_nms_topk, n_l)
         vals, idx = jax.lax.top_k(lg, k)
-        b = box_ops.apply_deltas(dl[idx], an[idx])
+        b = box_ops.clip_boxes(box_ops.apply_deltas(dl[idx], an[idx]),
+                               image_size)
+        v = jnp.isfinite(vals) & box_ops.nonempty(b, min_box_size)
+        # levels never suppress each other (torchvision batched_nms
+        # semantics), so NMS runs per level on (k, k) matrices instead of
+        # one (sum k)^2 matrix — ~5x less suppression work
+        keep = nms_mask(b, vals, v, nms_thresh)
         boxes_all.append(b)
-        scores_all.append(vals)
-        levels_all.append(jnp.full((k,), lvl, jnp.int32))
-        valid_all.append(jnp.isfinite(vals))
+        scores_all.append(jnp.where(keep, vals, NEG_INF))
+        valid_all.append(keep)
     boxes = jnp.concatenate(boxes_all)
-    scores = jnp.concatenate(scores_all)
-    levels = jnp.concatenate(levels_all)
-    valid = jnp.concatenate(valid_all)
+    masked = jnp.concatenate(scores_all)
 
-    boxes = box_ops.clip_boxes(boxes, image_size)
-    valid = valid & box_ops.nonempty(boxes, min_box_size)
-
-    keep = batched_nms_mask(boxes, scores, levels, valid, nms_thresh)
-    masked = jnp.where(keep, scores, NEG_INF)
     k = min(post_nms_topk, masked.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked, k)
     out_valid = top_scores > NEG_INF / 2
