@@ -24,11 +24,12 @@ TPU-first redesign:
 
 Exactness: identical to ops.roi_align.roi_align_packed whenever the RoI's
 sampling footprint on its assigned FPN level fits in the window (default
-32). With detectron2 level assignment the footprint is <= ~15 px for
-canonically-assigned boxes; only boxes clamped at p5 with a side
-> (window-1)*32 = 992 px exceed it (for SEM particle workloads: never).
-Oversized footprints clamp their outermost sample coordinates into the
-window (graceful degradation, not an error).
+32). Canonically-assigned boxes have footprints <= ~15 px, but aspect
+ratios stretch one axis by sqrt(aspect) (real powder data: ~2% of
+particles exceed 30 px). Oversized footprints pool from a 2x-avgpooled
+copy of their level (appended to the concat pack) — ROIAlign on a
+low-passed map rather than a hard clamp; footprints beyond 2*(window-2)
+on the pooled copy still clamp (requires aspect > ~20: unobserved).
 
 Reference parity target: detectron2/torchvision ROIAlignV2 as exercised by
 the reference via its box/mask heads (SURVEY.md §2b).
@@ -47,15 +48,31 @@ from jax.experimental.pallas import tpu as pltpu
 X_ALIGN = 8  # HBM sublane tiling: DMA x-origins must be 8-aligned
 
 
-def concat_feature_levels(features, *, window=32):
+def _avgpool2_edge(f):
+    """2x2 mean pool with edge replication for odd extents (NHWC)."""
+    b, h, w, c = f.shape
+    f = jnp.pad(f, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    out = jax.lax.reduce_window(f, jnp.zeros((), f.dtype), jax.lax.add,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return out * jnp.asarray(0.25, f.dtype)
+
+
+def concat_feature_levels(features, *, window=32, n_downsampled=2):
     """Concatenate per-level NHWC maps along H for window pooling.
 
     features: list of (B, H_l, W_l, C) arrays (one per FPN level, same B/C).
     Levels are zero-padded to max(W_l) in W and to >= window in H, then
-    concatenated along H. Returns (concat, y_offsets, heights, widths) with
-    the static per-level geometry as python tuples.
+    concatenated along H, followed by a 2x-avgpooled copy of the first
+    ``n_downsampled`` levels: RoIs whose sampling footprint exceeds the
+    window pool from the low-passed copy at half resolution instead of
+    clamping (real powder datasets put ~2% of instances — elongated
+    particles with aspect > 3 — beyond a 32-px footprint, always on
+    p2/p3; see _prepare). Returns (concat, y_offsets, heights, widths)
+    with static geometry tuples of length n_levels + n_downsampled.
     """
     b, _, _, c = features[0].shape
+    features = list(features) + [_avgpool2_edge(f)
+                                 for f in features[:n_downsampled]]
     heights = tuple(int(f.shape[1]) for f in features)
     widths = tuple(int(f.shape[2]) for f in features)
     w_pad = -(-max(max(widths), window + X_ALIGN) // X_ALIGN) * X_ALIGN
@@ -117,7 +134,17 @@ def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
                                    "window"))
 def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
              y_offsets, output_size, max_sr, window):
-    """XLA-side per-RoI prep: origins (N, 4) int32 + hat weights."""
+    """XLA-side per-RoI prep: origins (N, 4) int32 + hat weights.
+
+    Geometry tuples carry 2L entries: L original levels then their
+    2x-avgpooled copies. RoIs whose footprint exceeds the window are
+    demoted to the pooled copy of their level (coords c -> (c - 0.5) / 2:
+    a pooled cell's center sits at 2j + 0.5 original pixel-center units),
+    turning the hard clamp into a low-pass approximation.
+    """
+    n_lvl = len(strides)
+    n_ds = len(heights) - n_lvl
+    assert n_ds > 0, "pack must include downsampled levels"
     strides_a = jnp.asarray(strides, jnp.float32)
     heights_a = jnp.asarray(heights, jnp.int32)
     widths_a = jnp.asarray(widths, jnp.int32)
@@ -134,14 +161,20 @@ def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
     y1 = boxes[:, 3] * scale - 0.5
     P, S = output_size, max_sr
 
-    wy, oy = _axis_weights(y0, y1, heights_a[levels], hpad_a[levels],
+    span = jnp.maximum(x1 - x0, y1 - y0)
+    demote = (span > window - 2.0) & (levels < n_ds)
+    entry = levels + jnp.where(demote, n_lvl, 0)
+    x0, x1, y0, y1 = (jnp.where(demote, (c - 0.5) * 0.5, c)
+                      for c in (x0, x1, y0, y1))
+
+    wy, oy = _axis_weights(y0, y1, heights_a[entry], hpad_a[entry],
                            P=P, S=S, window=window)
-    wx, ox = _axis_weights(x0, x1, widths_a[levels],
+    wx, ox = _axis_weights(x0, x1, widths_a[entry],
                            jnp.full_like(levels, wpad), P=P, S=S,
                            window=xwin, align=X_ALIGN)
     v = valid.astype(jnp.float32)[:, None, None]
     origins = jnp.stack(
-        [img_idx.astype(jnp.int32), yoff_a[levels] + oy, ox,
+        [img_idx.astype(jnp.int32), yoff_a[entry] + oy, ox,
          jnp.zeros_like(ox)], axis=1)
     return origins, wy * v, wx * v
 

@@ -66,7 +66,7 @@ def test_matches_gather_path(setup, res):
     bx = np.asarray(boxes)
     span = np.maximum(bx[:, 2] - bx[:, 0], bx[:, 3] - bx[:, 1]) \
         / np.asarray(STRIDES)[lv]
-    fits = span < 30.5
+    fits = span < 29.5  # window - 2 = 30 is the demotion threshold
     assert fits.sum() > 40
     np.testing.assert_allclose(out[fits], ref[fits], atol=2e-5)
     # oversized footprints degrade gracefully (clamped, finite, masked)
@@ -85,6 +85,43 @@ def test_bf16_and_padding_rows(setup):
         interpret=True).astype(jnp.float32))
     assert np.isfinite(out).all()
     assert np.abs(out).max() > 0
+
+
+def test_oversized_footprint_uses_lowpassed_level(setup):
+    """Elongated boxes beyond the window pool from the 2x-avgpooled copy.
+
+    The result is ROIAlign on a low-passed map: close to the exact value
+    on smooth features, not a hard edge clamp.
+    """
+    rs = np.random.RandomState(7)
+    b, c = 1, 256
+    # smooth feature maps so low-pass is a good approximation
+    base = rs.randn(b, 7, 11, c).astype(np.float32)
+    feats = []
+    for (h, w) in SHAPES:
+        up = np.kron(base[:, :, :, :], np.ones((1, 8, 8, 1), np.float32))
+        feats.append(jnp.asarray(up[:, :h, :w, :]))
+    # aspect-8 box: 180x22 px -> sqrt_area 63 -> p2 (stride 4), x-span 45
+    boxes = jnp.asarray([[40.0, 80.0, 220.0, 102.0]])
+    img_idx = jnp.zeros(1, jnp.int32)
+    levels = assign_levels(boxes)
+    assert int(levels[0]) == 0  # assigned p2: footprint 45 >> 32
+
+    feature_list = [feats[lv][0] for lv in range(4)]
+    packed = pack_feature_levels(feature_list)
+    exact = np.asarray(roi_align_packed(
+        packed, boxes, levels, strides=STRIDES, output_size=7, max_sr=2,
+        sampling_ratio=0, chunk=2))
+
+    pack = concat_feature_levels(feats, window=32)
+    out = np.asarray(roi_align_windows(
+        pack, boxes, img_idx, levels, jnp.ones(1, bool), strides=STRIDES,
+        output_size=7, max_sr=2, window=32, interpret=True))
+    # low-passed pooling tracks the exact result on average (a hard clamp,
+    # which reads only a 32-px strip of the 45-px footprint, does not)
+    denom = np.abs(exact).max()
+    assert np.abs(out - exact).mean() / denom < 0.05
+    assert np.abs(out - exact).max() / denom < 0.5
 
 
 def test_small_canvas_levels_pad_to_window():
