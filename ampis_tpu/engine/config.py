@@ -250,6 +250,10 @@ def get_cfg() -> CfgNode:
     c.TPU.MESH_AXES = ("data",)
     c.TPU.USE_PALLAS = True          # pallas kernels where available
     c.TPU.COMPUTE_DTYPE = "bfloat16"
+    # per-instance GT mask crop canvas (T, T): ~60x less host->device
+    # traffic than dense (G, H, W) mask stacks; instances larger than
+    # T - 2 px are downscaled to fit (see ops.roi_align). 0 = dense path.
+    c.TPU.MASK_CANVAS = 128
 
     return c
 

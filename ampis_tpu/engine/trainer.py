@@ -183,7 +183,7 @@ class Trainer:
         std = tuple(self.cfg.MODEL.PIXEL_STD)
 
         def loss_fn(params, images, gt_boxes, gt_classes, gt_valid,
-                    gt_masks, rng, new_shape, canvas):
+                    gt_masks, gt_mask_meta, rng, new_shape, canvas):
             batch = jax.vmap(
                 lambda im: preprocess_image(im, new_shape, canvas, mean, std)
             )(images)
@@ -191,15 +191,17 @@ class Trainer:
                              (images.shape[0], 1))
             losses = model.apply(params, batch, sizes, gt_boxes, gt_classes,
                                  gt_valid, gt_masks, rng,
+                                 gt_mask_meta=gt_mask_meta,
                                  method=MaskRCNN.losses)
             return sum(losses.values()), losses
 
         def train_step(params, opt_state, images, gt_boxes, gt_classes,
-                       gt_valid, gt_masks, rng, new_shape, canvas):
+                       gt_valid, gt_masks, gt_mask_meta, rng, new_shape,
+                       canvas):
             (total, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, images, gt_boxes, gt_classes,
-                                       gt_valid, gt_masks, rng, new_shape,
-                                       canvas)
+                                       gt_valid, gt_masks, gt_mask_meta,
+                                       rng, new_shape, canvas)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, new_opt_state, total, losses
@@ -213,9 +215,10 @@ class Trainer:
     # ------------------------------------------------------------ run loop
 
     def _device_batch(self, batch):
-        arrays = {k: batch[k] for k in
-                  ("images", "gt_boxes", "gt_classes", "gt_valid",
-                   "gt_masks")}
+        keys = ["images", "gt_boxes", "gt_classes", "gt_valid", "gt_masks"]
+        if "gt_mask_meta" in batch:
+            keys.append("gt_mask_meta")
+        arrays = {k: batch[k] for k in keys}
         if self.mesh is not None:
             arrays = shard_batch(arrays, self.mesh)
         return arrays
@@ -226,8 +229,8 @@ class Trainer:
         self.params, self.opt_state, total, losses = self._train_step(
             self.params, self.opt_state, arrays["images"],
             arrays["gt_boxes"], arrays["gt_classes"], arrays["gt_valid"],
-            arrays["gt_masks"], rng, tuple(batch["new_shape"]),
-            tuple(batch["canvas"]))
+            arrays["gt_masks"], arrays.get("gt_mask_meta"), rng,
+            tuple(batch["new_shape"]), tuple(batch["canvas"]))
         return total, losses
 
     def train(self, start_iter=None, max_iter=None):
@@ -272,12 +275,14 @@ class Trainer:
     def eval_loss(self, batch):
         """Train-mode loss dict on a validation batch (LossEvalHook)."""
         self._rng, rng = jax.random.split(self._rng)
-        arrays = {k: jnp.asarray(batch[k]) for k in
-                  ("images", "gt_boxes", "gt_classes", "gt_valid",
-                   "gt_masks")}
+        keys = ["images", "gt_boxes", "gt_classes", "gt_valid", "gt_masks"]
+        if "gt_mask_meta" in batch:
+            keys.append("gt_mask_meta")
+        arrays = {k: jnp.asarray(batch[k]) for k in keys}
         _, losses = self._loss_fn(
             self.params, arrays["images"], arrays["gt_boxes"],
             arrays["gt_classes"], arrays["gt_valid"], arrays["gt_masks"],
-            rng, tuple(batch["new_shape"]), tuple(batch["canvas"]))
+            arrays.get("gt_mask_meta"), rng, tuple(batch["new_shape"]),
+            tuple(batch["canvas"]))
         losses = jax.device_get(losses)
         return {k: float(v) for k, v in losses.items()}

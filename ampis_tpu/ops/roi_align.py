@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LANE = 128
 
@@ -235,6 +236,133 @@ def roi_align_single(feature, boxes, *, stride, output_size=7,
     return multilevel_roi_align([feature], boxes, levels, strides=(stride,),
                                 output_size=output_size, max_sr=max_sr,
                                 sampling_ratio=sampling_ratio, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("output_size", "max_sr"))
+def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
+                                  *, output_size=28, max_sr=2):
+    """Mask targets from per-instance crop canvases.
+
+    TPU-native replacement for cropping dense full-resolution GT mask
+    stacks (a (B, G, H, W) uint8 tensor is ~400 MB/image for the powder
+    workload — dominating both host->device transfer and device
+    relayouts). Each GT instance instead ships as a (T, T) uint8 canvas
+    holding its mask crop (zero border guaranteed) plus an affine map
+    back to resized-image coordinates:
+
+        image_coord = meta[g, 0:2] + canvas_coord * meta[g, 2]
+
+    Sampling semantics match crop_and_resize_masks (ROIAlignV2 at scale 1
+    on the full-res plane): the GT mask is zero everywhere outside its
+    crop, so samples beyond the canvas clamp into its zero border and
+    contribute 0 — exactly the dense-path value. Exact for instances
+    stored at native resolution (crop fits T - 2); larger instances are
+    bilinearly downscaled into the canvas (loader side), making targets
+    a low-passed approximation for those.
+
+    canvases: (G, T, T) uint8; meta: (G, 3) float32 (a_y, a_x, scale);
+    boxes: (M, 4) XYXY resized-image coords; mask_idx: (M,) int32;
+    im_size: (2,) float (h, w) — sample coords clamp to the image extent
+    first (ROIAlignV2 border replication) and samples beyond [-1, size]
+    contribute zero, matching the dense path bit-for-bit at image edges.
+    Returns (M, P, P) float32.
+    """
+    g, t, _ = canvases.shape
+    flat = canvases.reshape(g * t * t).astype(jnp.uint8)
+    m = boxes.shape[0]
+    P = output_size
+    S = max_sr
+
+    x0 = boxes[:, 0] - 0.5
+    y0 = boxes[:, 1] - 0.5
+    x1 = boxes[:, 2] - 0.5
+    y1 = boxes[:, 3] - 0.5
+    bin_w = (x1 - x0) / P
+    bin_h = (y1 - y0) / P
+    sr_y = jnp.clip(jnp.ceil((y1 - y0) / P), 1, S).astype(jnp.int32)
+    sr_x = jnp.clip(jnp.ceil((x1 - x0) / P), 1, S).astype(jnp.int32)
+
+    pbin = jnp.arange(P, dtype=jnp.float32)
+    ssub = jnp.arange(S, dtype=jnp.float32)
+    ys = (y0[:, None, None] + pbin[None, :, None] * bin_h[:, None, None]
+          + (ssub[None, None, :] + 0.5) * bin_h[:, None, None]
+          / sr_y[:, None, None].astype(jnp.float32))
+    xs = (x0[:, None, None] + pbin[None, :, None] * bin_w[:, None, None]
+          + (ssub[None, None, :] + 0.5) * bin_w[:, None, None]
+          / sr_x[:, None, None].astype(jnp.float32))
+    yv = ssub[None, None, :] < sr_y[:, None, None]
+    xv = ssub[None, None, :] < sr_x[:, None, None]
+    h_im = im_size[0].astype(jnp.float32)
+    w_im = im_size[1].astype(jnp.float32)
+    yv = yv & (ys >= -1.0) & (ys <= h_im)
+    xv = xv & (xs >= -1.0) & (xs <= w_im)
+    ys = jnp.clip(ys, 0.0, h_im - 1.0)
+    xs = jnp.clip(xs, 0.0, w_im - 1.0)
+
+    sel = jnp.clip(mask_idx.astype(jnp.int32), 0, g - 1)
+    a = meta[sel]                                   # (M, 3)
+    inv = 1.0 / jnp.maximum(a[:, 2], 1e-6)
+    yc = (ys - a[:, 0, None, None]) * inv[:, None, None]
+    xc = (xs - a[:, 1, None, None]) * inv[:, None, None]
+
+    ycl = jnp.clip(yc, 0.0, t - 1.0)
+    xcl = jnp.clip(xc, 0.0, t - 1.0)
+    yl = jnp.clip(jnp.floor(ycl).astype(jnp.int32), 0, t - 2)
+    xl = jnp.clip(jnp.floor(xcl).astype(jnp.int32), 0, t - 2)
+    fy = ycl - yl.astype(jnp.float32)
+    fx = xcl - xl.astype(jnp.float32)
+
+    base = (sel * (t * t))[:, None, None, None, None]
+
+    def flat_idx(yy, xx):
+        return base + yy[:, :, :, None, None] * t + xx[:, None, None, :, :]
+
+    valid = yv[:, :, :, None, None] & xv[:, None, None, :, :]
+    acc = jnp.zeros((m, P, S, P, S), jnp.float32)
+    for yy, wy in ((yl, 1.0 - fy), (yl + 1, fy)):
+        for xx, wx in ((xl, 1.0 - fx), (xl + 1, fx)):
+            v = jnp.take(flat, flat_idx(yy, xx).reshape(m, -1),
+                         axis=0).reshape(m, P, S, P, S)
+            acc = acc + v.astype(jnp.float32) \
+                * (wy[:, :, :, None, None] * wx[:, None, None, :, :])
+    acc = jnp.where(valid, acc, 0.0)
+    count = (sr_y * sr_x).astype(jnp.float32)
+    return acc.sum(axis=(2, 4)) / count[:, None, None]
+
+
+def instance_mask_canvas(mask, canvas_size=128):
+    """Host-side: pack one dense instance mask into a (T, T) crop canvas.
+
+    Returns (canvas uint8, (a_y, a_x, scale) float). The canvas keeps a
+    >= 1 px zero border on every side; instances larger than T - 2 px are
+    bilinearly downscaled (aspect preserved) and re-thresholded at 0.5.
+    Inverse map: image_coord = a + canvas_coord * scale.
+    """
+    t = canvas_size
+    canvas = np.zeros((t, t), np.uint8)
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return canvas, np.asarray([0.0, 0.0, 1.0], np.float32)
+    iy0, iy1 = int(ys.min()), int(ys.max()) + 1
+    ix0, ix1 = int(xs.min()), int(xs.max()) + 1
+    ch, cw = iy1 - iy0, ix1 - ix0
+    crop = mask[iy0:iy1, ix0:ix1]
+    scale = max(ch / (t - 2), cw / (t - 2), 1.0)
+    if scale > 1.0:
+        from PIL import Image
+        hs = max(int(round(ch / scale)), 1)
+        ws = max(int(round(cw / scale)), 1)
+        # recover the actual per-axis scale PIL applies (they can differ
+        # by rounding; use the mean for the single stored scale)
+        crop = np.asarray(Image.fromarray(
+            crop.astype(np.float32)).resize((ws, hs), Image.BILINEAR))
+        crop = (crop >= 0.5).astype(np.uint8)
+        scale = ((ch / hs) + (cw / ws)) / 2.0
+    h, w = crop.shape
+    canvas[1:1 + h, 1:1 + w] = crop
+    a_y = iy0 - 0.5 * scale - 0.5
+    a_x = ix0 - 0.5 * scale - 0.5
+    return canvas, np.asarray([a_y, a_x, scale], np.float32)
 
 
 @partial(jax.jit, static_argnames=("output_size", "max_sr"))
