@@ -72,66 +72,101 @@ class DetectionLoader:
     def __len__(self):
         return len(self.ddicts)
 
+    @staticmethod
+    def _scaled_bbox(a, sx, sy):
+        bbox = np.asarray(a["bbox"], np.float64)
+        if a.get("bbox_mode", BoxMode.XYXY_ABS) == BoxMode.XYWH_ABS:
+            bbox = np.asarray(
+                [bbox[0], bbox[1], bbox[0] + bbox[2], bbox[1] + bbox[3]])
+        return bbox * np.asarray([sx, sy, sx, sy])
+
+    @staticmethod
+    def _instance_crop(a, box, sx, sy, new_shape):
+        """Rasterize one instance's mask locally: (crop uint8, (y0, x0)).
+
+        Polygons rasterize at crop size in shifted coordinates (COCO
+        scanline rasterization is integer-shift invariant), so the cost is
+        O(instance area) — the full-image plane never materializes.
+        """
+        iy0 = max(int(np.floor(box[1])) - 1, 0)
+        ix0 = max(int(np.floor(box[0])) - 1, 0)
+        iy1 = min(int(np.ceil(box[3])) + 2, new_shape[0])
+        ix1 = min(int(np.ceil(box[2])) + 2, new_shape[1])
+        ch, cw = max(iy1 - iy0, 1), max(ix1 - ix0, 1)
+        seg = a["segmentation"]
+        if isinstance(seg, dict):  # RLE at original resolution
+            dense = RLE.decode(seg).astype(np.float32)
+            from PIL import Image
+            m = np.asarray(Image.fromarray(dense).resize(
+                (new_shape[1], new_shape[0]), Image.BILINEAR)) >= 0.5
+            crop = m[iy0:iy0 + ch, ix0:ix0 + cw].astype(np.uint8)
+        else:  # polygons: scale + shift coords, rasterize at crop size
+            polys = []
+            for p in seg:
+                p = np.asarray(p, np.float64).copy()
+                p[0::2] = p[0::2] * sx - ix0
+                p[1::2] = p[1::2] * sy - iy0
+                polys.append(p.tolist())
+            rles = RLE.frPyObjects(polys, ch, cw)
+            merged = RLE.merge(rles) if len(rles) > 1 else rles[0]
+            crop = RLE.decode(merged)
+        return crop, (iy0, ix0)
+
     def _load_one(self, ddict, min_size):
         img = imread_bgr(ddict["file_name"])
         h0, w0 = img.shape[:2]
         new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
         sy = new_shape[0] / h0
         sx = new_shape[1] / w0
+        flip = self.flip and self.rng.rand() < 0.5
 
         annos = ddict.get("annotations", [])
         g = self.max_gt
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
         valid = np.zeros((g,), bool)
-        masks = np.zeros((g,) + self.canvas, np.uint8)
-
         n = min(len(annos), g)
-        for i, a in enumerate(annos[:n]):
-            bbox = np.asarray(a["bbox"], np.float64)
-            if a.get("bbox_mode", BoxMode.XYXY_ABS) == BoxMode.XYWH_ABS:
-                bbox = np.asarray(
-                    [bbox[0], bbox[1], bbox[0] + bbox[2], bbox[1] + bbox[3]])
-            boxes[i] = bbox * np.asarray([sx, sy, sx, sy])
-            classes[i] = a["category_id"]
-            valid[i] = True
-            seg = a["segmentation"]
-            if isinstance(seg, dict):  # RLE at original resolution
-                dense = RLE.decode(seg).astype(np.float32)
-                from PIL import Image
-                m = np.asarray(Image.fromarray(dense).resize(
-                    (new_shape[1], new_shape[0]), Image.BILINEAR))
-                masks[i, :new_shape[0], :new_shape[1]] = m >= 0.5
-            else:  # polygons: scale coords, rasterize at resized scale
-                polys = []
-                for p in seg:
-                    p = np.asarray(p, np.float64).copy()
-                    p[0::2] *= sx
-                    p[1::2] *= sy
-                    polys.append(p.tolist())
-                rles = RLE.frPyObjects(polys, new_shape[0], new_shape[1])
-                merged = RLE.merge(rles) if len(rles) > 1 else rles[0]
-                masks[i, :new_shape[0], :new_shape[1]] = RLE.decode(merged)
-
-        if self.flip and self.rng.rand() < 0.5:
-            img = img[:, ::-1].copy()
-            x0 = boxes[:n, 0].copy()
-            x1 = boxes[:n, 2].copy()
-            boxes[:n, 0] = new_shape[1] - x1
-            boxes[:n, 2] = new_shape[1] - x0
-            masks[:n, :, :new_shape[1]] = \
-                masks[:n, :, :new_shape[1]][:, :, ::-1]
 
         if self.mask_canvas:
             t = self.mask_canvas
             canv = np.zeros((g, t, t), np.uint8)
             meta = np.zeros((g, 3), np.float32)
             meta[:, 2] = 1.0
-            for i in range(n):
-                canv[i], meta[i] = instance_mask_canvas(masks[i], t)
-            return img, new_shape, boxes, classes, valid, canv, meta
+            for i, a in enumerate(annos[:n]):
+                boxes[i] = self._scaled_bbox(a, sx, sy)
+                classes[i] = a["category_id"]
+                valid[i] = True
+                crop, (iy0, ix0) = self._instance_crop(
+                    a, boxes[i], sx, sy, new_shape)
+                if flip:
+                    crop = crop[:, ::-1]
+                    ix0 = new_shape[1] - (ix0 + crop.shape[1])
+                canv[i], meta[i] = instance_mask_canvas(
+                    crop, t, origin=(iy0, ix0))
+            masks, mask_meta = canv, meta
+        else:
+            masks = np.zeros((g,) + self.canvas, np.uint8)
+            mask_meta = None
+            for i, a in enumerate(annos[:n]):
+                boxes[i] = self._scaled_bbox(a, sx, sy)
+                classes[i] = a["category_id"]
+                valid[i] = True
+                crop, (iy0, ix0) = self._instance_crop(
+                    a, boxes[i], sx, sy, new_shape)
+                ch, cw = crop.shape
+                masks[i, iy0:iy0 + ch, ix0:ix0 + cw] = crop
+            if flip:
+                masks[:n, :, :new_shape[1]] = \
+                    masks[:n, :, :new_shape[1]][:, :, ::-1]
 
-        return img, new_shape, boxes, classes, valid, masks, None
+        if flip:
+            img = img[:, ::-1].copy()
+            x0 = boxes[:n, 0].copy()
+            x1 = boxes[:n, 2].copy()
+            boxes[:n, 0] = new_shape[1] - x1
+            boxes[:n, 2] = new_shape[1] - x0
+
+        return img, new_shape, boxes, classes, valid, masks, mask_meta
 
     def _make_batch(self, indices, min_size):
         imgs, boxes, classes, valids, masks, metas = [], [], [], [], [], []

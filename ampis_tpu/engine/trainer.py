@@ -233,28 +233,49 @@ class Trainer:
             tuple(batch["new_shape"]), tuple(batch["canvas"]))
         return total, losses
 
+    def _flush_pending(self, schedule_host):
+        """Materialize queued device scalars into storage (one transfer).
+
+        Loss scalars stay on device between flushes so the train loop
+        never blocks on a host round-trip per step (the device queue keeps
+        several steps in flight); one batched device_get every
+        ``log_period`` iters fetches them all.
+        """
+        if not self._pending:
+            return
+        fetched = jax.device_get(self._pending)
+        saved_iter = self.storage.iter
+        for it_i, total, losses, dt in fetched:
+            self.storage.iter = int(it_i)
+            self.storage.put_scalar("total_loss", float(total))
+            for k, v in losses.items():
+                self.storage.put_scalar(k, float(v))
+            self.storage.put_scalar("lr", schedule_host(int(it_i)))
+            self.storage.put_scalar("time", float(dt))
+        self.storage.iter = saved_iter
+        self._pending = []
+
     def train(self, start_iter=None, max_iter=None):
         start = self.iter if start_iter is None else start_iter
         end = self.max_iter if max_iter is None else max_iter
         it = self.train_loader.infinite()
         t_last = time.time()
         schedule_host = build_lr_schedule(self.cfg, host=True)
+        self._pending = []
+        log_period = max(int(getattr(self.storage, "_log_period", 20)), 1)
         for self.iter in range(start, end):
             self.storage.iter = self.iter
             batch = next(it)
             total, losses = self.run_step(batch)
-            # one host transfer for all scalars (the tunnel RTT dominates)
-            total, losses = jax.device_get((total, losses))
-            self.storage.put_scalar("total_loss", float(total))
-            for k, v in losses.items():
-                self.storage.put_scalar(k, float(v))
-            self.storage.put_scalar("lr", schedule_host(self.iter))
             now = time.time()
-            self.storage.put_scalar("time", now - t_last)
+            self._pending.append((self.iter, total, losses, now - t_last))
             t_last = now
+            next_iter = self.iter + 1
+            if (next_iter % log_period == 0 or next_iter == end
+                    or next_iter % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0):
+                self._flush_pending(schedule_host)
             for h in self._hooks:
                 h.after_step()
-            next_iter = self.iter + 1
             if (next_iter % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     or next_iter == end):
                 self.save(next_iter)

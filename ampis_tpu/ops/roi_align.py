@@ -330,13 +330,17 @@ def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
     return acc.sum(axis=(2, 4)) / count[:, None, None]
 
 
-def instance_mask_canvas(mask, canvas_size=128):
+def instance_mask_canvas(mask, canvas_size=128, origin=(0, 0)):
     """Host-side: pack one dense instance mask into a (T, T) crop canvas.
 
-    Returns (canvas uint8, (a_y, a_x, scale) float). The canvas keeps a
-    >= 1 px zero border on every side; instances larger than T - 2 px are
-    bilinearly downscaled (aspect preserved) and re-thresholded at 0.5.
-    Inverse map: image_coord = a + canvas_coord * scale.
+    ``mask`` may be the full-image mask or a local crop whose top-left
+    sits at ``origin`` (y, x) in image coords — the loader rasterizes
+    instances directly into local crops so packing is O(instance area),
+    not O(image area). Returns (canvas uint8, (a_y, a_x, scale) float).
+    The canvas keeps a >= 1 px zero border on every side; instances
+    larger than T - 2 px are bilinearly downscaled (aspect preserved) and
+    re-thresholded at 0.5. Inverse map:
+    image_coord = a + canvas_coord * scale.
     """
     t = canvas_size
     canvas = np.zeros((t, t), np.uint8)
@@ -360,8 +364,8 @@ def instance_mask_canvas(mask, canvas_size=128):
         scale = ((ch / hs) + (cw / ws)) / 2.0
     h, w = crop.shape
     canvas[1:1 + h, 1:1 + w] = crop
-    a_y = iy0 - 0.5 * scale - 0.5
-    a_x = ix0 - 0.5 * scale - 0.5
+    a_y = origin[0] + iy0 - 0.5 * scale - 0.5
+    a_x = origin[1] + ix0 - 0.5 * scale - 0.5
     return canvas, np.asarray([a_y, a_x, scale], np.float32)
 
 
