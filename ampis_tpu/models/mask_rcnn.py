@@ -254,7 +254,8 @@ class MaskRCNN(nn.Module):
         # --- RPN losses (per image, vmapped) ---
         def rpn_one(lg, dl, gtb, gtv, key):
             return rpn_losses(
-                jnp.concatenate(list(lg)), jnp.concatenate(list(dl)),
+                jnp.concatenate(list(lg)),
+                jnp.concatenate([d.reshape(-1, 4) for d in dl]),
                 anchors_cat, gtb, gtv, key,
                 batch_size_per_image=self.rpn_batch_per_image,
                 positive_fraction=self.rpn_positive_fraction)

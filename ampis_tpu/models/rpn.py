@@ -37,10 +37,14 @@ class RPNHead(nn.Module):
         logits_out, deltas_out = [], []
         for f in features:
             t = nn.relu(conv(f))
-            b = t.shape[0]
-            # NHWC conv output order (y, x, a) matches anchor grid order
+            b, h, w, _ = t.shape
+            # NHWC conv output order (y, x, a) matches anchor grid order.
+            # Deltas stay 4D (B, H, W, A*4): flattening them here would
+            # relayout the whole tensor; proposal selection instead
+            # gathers only the top-k rows post-top-k (see
+            # select_proposals), and the training path reshapes lazily.
             logits_out.append(obj(t).reshape(b, -1))
-            deltas_out.append(deltas(t).reshape(b, -1, 4))
+            deltas_out.append(deltas(t))
         return logits_out, deltas_out
 
 
@@ -50,14 +54,25 @@ def select_proposals(logits, deltas, anchors, image_size, *,
     """Single-image proposal selection -> (boxes (K,4), scores (K,), valid).
 
     logits: list of (n_l,) objectness logits per level;
-    deltas: list of (n_l, 4); anchors: list of (n_l, 4) arrays.
+    deltas: list of (H_l, W_l, A*4) conv outputs (row-major (y, x, a)
+    order matching the logits/anchors) OR pre-flattened (n_l, 4);
+    anchors: list of (n_l, 4) arrays.
     """
     boxes_all, scores_all, valid_all = [], [], []
     for lg, dl, an in zip(logits, deltas, anchors):
         n_l = lg.shape[0]
         k = min(pre_nms_topk, n_l)
         vals, idx = jax.lax.top_k(lg, k)
-        b = box_ops.clip_boxes(box_ops.apply_deltas(dl[idx], an[idx]),
+        if dl.ndim == 3:
+            # gather just the k selected rows from the 4D conv output
+            # (flattening all H*W*A rows first would relayout the tensor)
+            h, w, a4 = dl.shape
+            na = a4 // 4
+            dsel = dl.reshape(h, w, na, 4)[
+                idx // (w * na), (idx // na) % w, idx % na]
+        else:
+            dsel = dl[idx]
+        b = box_ops.clip_boxes(box_ops.apply_deltas(dsel, an[idx]),
                                image_size)
         v = jnp.isfinite(vals) & box_ops.nonempty(b, min_box_size)
         # levels never suppress each other (torchvision batched_nms

@@ -26,9 +26,11 @@ def test_resize_matmul_matches_jax_image(in_shape, out_shape):
     ref = np.asarray(jax.image.resize(img, (*out_shape, 3),
                                       method="bilinear", antialias=True))
     out = np.asarray(_resize_matmul(img, out_shape))
-    # identical taps; differences are f32 accumulation order (< 0.05 on a
-    # 0..255 scale)
-    np.testing.assert_allclose(out, ref, atol=0.05)
+    # identical taps; the resize runs in bf16 (pixel-value rounding < 2
+    # on a 0..255 scale, below the bf16 quantization the backbone applies
+    # to the normalized input anyway — its step is ~1.0 at magnitude 128)
+    np.testing.assert_allclose(out, ref, atol=2.0)
+    assert np.abs(out - ref).mean() < 0.5
 
 
 def test_resize_shape_and_canvas():
