@@ -84,30 +84,57 @@ class DetectionLoader:
     def _instance_crop(a, box, sx, sy, new_shape):
         """Rasterize one instance's mask locally: (crop uint8, (y0, x0)).
 
-        Polygons rasterize at crop size in shifted coordinates (COCO
-        scanline rasterization is integer-shift invariant), so the cost is
-        O(instance area) — the full-image plane never materializes.
+        The crop window covers the union of the annotated bbox and the
+        segmentation's own extent (annotations with loose boxes must not
+        lose mask pixels). Polygons rasterize at crop size in shifted
+        coordinates (COCO scanline rasterization is integer-shift
+        invariant) — O(instance area), no full-image plane. RLE GT
+        decodes and resizes its full plane (exactly the dense-path
+        pixels) before cropping; that is O(image area) per instance but
+        RLE-annotated datasets (binary/label formats) are small images.
         """
-        iy0 = max(int(np.floor(box[1])) - 1, 0)
-        ix0 = max(int(np.floor(box[0])) - 1, 0)
-        iy1 = min(int(np.ceil(box[3])) + 2, new_shape[0])
-        ix1 = min(int(np.ceil(box[2])) + 2, new_shape[1])
-        ch, cw = max(iy1 - iy0, 1), max(ix1 - ix0, 1)
         seg = a["segmentation"]
-        if isinstance(seg, dict):  # RLE at original resolution
-            dense = RLE.decode(seg).astype(np.float32)
-            from PIL import Image
-            m = np.asarray(Image.fromarray(dense).resize(
-                (new_shape[1], new_shape[0]), Image.BILINEAR)) >= 0.5
-            crop = m[iy0:iy0 + ch, ix0:ix0 + cw].astype(np.uint8)
-        else:  # polygons: scale + shift coords, rasterize at crop size
+        ys0, xs0 = box[1], box[0]
+        ys1, xs1 = box[3], box[2]
+        polys = None
+        if not isinstance(seg, dict):
             polys = []
             for p in seg:
                 p = np.asarray(p, np.float64).copy()
-                p[0::2] = p[0::2] * sx - ix0
-                p[1::2] = p[1::2] * sy - iy0
-                polys.append(p.tolist())
-            rles = RLE.frPyObjects(polys, ch, cw)
+                p[0::2] *= sx
+                p[1::2] *= sy
+                polys.append(p)
+                if p.size >= 4:
+                    xs0 = min(xs0, p[0::2].min())
+                    xs1 = max(xs1, p[0::2].max())
+                    ys0 = min(ys0, p[1::2].min())
+                    ys1 = max(ys1, p[1::2].max())
+        iy0 = max(int(np.floor(ys0)) - 1, 0)
+        ix0 = max(int(np.floor(xs0)) - 1, 0)
+        iy1 = min(int(np.ceil(ys1)) + 2, new_shape[0])
+        ix1 = min(int(np.ceil(xs1)) + 2, new_shape[1])
+        ch, cw = max(iy1 - iy0, 1), max(ix1 - ix0, 1)
+        if polys is None:  # RLE at original resolution
+            from PIL import Image
+            dense = RLE.decode(seg).astype(np.float32)
+            m = np.asarray(Image.fromarray(dense).resize(
+                (new_shape[1], new_shape[0]), Image.BILINEAR)) >= 0.5
+            ys_e, xs_e = np.nonzero(m)
+            if ys_e.size:  # widen to the segmentation's true extent
+                iy0 = max(min(iy0, int(ys_e.min()) - 1), 0)
+                ix0 = max(min(ix0, int(xs_e.min()) - 1), 0)
+                iy1 = min(max(iy1, int(ys_e.max()) + 2), new_shape[0])
+                ix1 = min(max(ix1, int(xs_e.max()) + 2), new_shape[1])
+                ch, cw = max(iy1 - iy0, 1), max(ix1 - ix0, 1)
+            crop = m[iy0:iy0 + ch, ix0:ix0 + cw].astype(np.uint8)
+        else:  # polygons: shift scaled coords, rasterize at crop size
+            shifted = []
+            for p in polys:
+                q = p.copy()
+                q[0::2] -= ix0
+                q[1::2] -= iy0
+                shifted.append(q.tolist())
+            rles = RLE.frPyObjects(shifted, ch, cw)
             merged = RLE.merge(rles) if len(rles) > 1 else rles[0]
             crop = RLE.decode(merged)
         return crop, (iy0, ix0)
@@ -129,35 +156,31 @@ class DetectionLoader:
 
         if self.mask_canvas:
             t = self.mask_canvas
-            canv = np.zeros((g, t, t), np.uint8)
-            meta = np.zeros((g, 3), np.float32)
-            meta[:, 2] = 1.0
-            for i, a in enumerate(annos[:n]):
-                boxes[i] = self._scaled_bbox(a, sx, sy)
-                classes[i] = a["category_id"]
-                valid[i] = True
-                crop, (iy0, ix0) = self._instance_crop(
-                    a, boxes[i], sx, sy, new_shape)
-                if flip:
-                    crop = crop[:, ::-1]
-                    ix0 = new_shape[1] - (ix0 + crop.shape[1])
-                canv[i], meta[i] = instance_mask_canvas(
-                    crop, t, origin=(iy0, ix0))
-            masks, mask_meta = canv, meta
+            masks = np.zeros((g, t, t), np.uint8)
+            mask_meta = np.zeros((g, 3), np.float32)
+            mask_meta[:, 2] = 1.0
         else:
             masks = np.zeros((g,) + self.canvas, np.uint8)
             mask_meta = None
-            for i, a in enumerate(annos[:n]):
-                boxes[i] = self._scaled_bbox(a, sx, sy)
-                classes[i] = a["category_id"]
-                valid[i] = True
-                crop, (iy0, ix0) = self._instance_crop(
-                    a, boxes[i], sx, sy, new_shape)
+
+        for i, a in enumerate(annos[:n]):
+            boxes[i] = self._scaled_bbox(a, sx, sy)
+            classes[i] = a["category_id"]
+            valid[i] = True
+            crop, (iy0, ix0) = self._instance_crop(
+                a, boxes[i], sx, sy, new_shape)
+            if self.mask_canvas:
+                if flip:
+                    crop = crop[:, ::-1]
+                    ix0 = new_shape[1] - (ix0 + crop.shape[1])
+                masks[i], mask_meta[i] = instance_mask_canvas(
+                    crop, self.mask_canvas, origin=(iy0, ix0))
+            else:
                 ch, cw = crop.shape
                 masks[i, iy0:iy0 + ch, ix0:ix0 + cw] = crop
-            if flip:
-                masks[:n, :, :new_shape[1]] = \
-                    masks[:n, :, :new_shape[1]][:, :, ::-1]
+        if flip and not self.mask_canvas:
+            masks[:n, :, :new_shape[1]] = \
+                masks[:n, :, :new_shape[1]][:, :, ::-1]
 
         if flip:
             img = img[:, ::-1].copy()

@@ -44,18 +44,22 @@ class EventStorage:
         self.iter += 1
 
     def write(self):
-        """Flush latest scalars to the metrics file and maybe the console."""
+        """Flush latest scalars to the metrics file and the console.
+
+        The caller controls the cadence (the trainer calls this once per
+        log period, right after materializing that period's scalars —
+        every metrics.json line and console print carries fresh values).
+        """
         if self._file is not None:
             rec = {"iteration": self.iter, **self._latest}
             self._file.write(json.dumps(rec) + "\n")
             self._file.flush()
-        if self.iter % self._log_period == 0:
-            elapsed = time.time() - self._t0
-            parts = [f"iter: {self.iter}"]
-            for k, v in sorted(self._latest.items()):
-                parts.append(f"{k}: {v:.4g}")
-            parts.append(f"elapsed: {elapsed:.0f}s")
-            print("  ".join(parts), flush=True)
+        elapsed = time.time() - self._t0
+        parts = [f"iter: {self.iter}"]
+        for k, v in sorted(self._latest.items()):
+            parts.append(f"{k}: {v:.4g}")
+        parts.append(f"elapsed: {elapsed:.0f}s")
+        print("  ".join(parts), flush=True)
 
     def close(self):
         if self._file is not None:

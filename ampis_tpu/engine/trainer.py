@@ -274,12 +274,12 @@ class Trainer:
             if (next_iter % log_period == 0 or next_iter == end
                     or next_iter % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0):
                 self._flush_pending(schedule_host)
+                self.storage.write()
             for h in self._hooks:
                 h.after_step()
             if (next_iter % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     or next_iter == end):
                 self.save(next_iter)
-            self.storage.write()
         self.iter = end
         return self
 

@@ -50,7 +50,7 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     as an explicit matrix, so the separable resize runs as two MXU matmuls
     instead of the generic lowering (3-channel images tile terribly on the
     VPU path; measured 3x faster end-to-end on v5e). Verified against
-    jax.image.resize in tests/test_data_utils.py.
+    jax.image.resize in tests/test_transforms.py.
     """
     key = (n_in, n_out)
     if key not in _RESIZE_MAT_CACHE:

@@ -58,7 +58,7 @@ def select_proposals(logits, deltas, anchors, image_size, *,
     order matching the logits/anchors) OR pre-flattened (n_l, 4);
     anchors: list of (n_l, 4) arrays.
     """
-    boxes_all, scores_all, valid_all = [], [], []
+    boxes_all, scores_all = [], []
     for lg, dl, an in zip(logits, deltas, anchors):
         n_l = lg.shape[0]
         k = min(pre_nms_topk, n_l)
@@ -81,7 +81,6 @@ def select_proposals(logits, deltas, anchors, image_size, *,
         keep = nms_mask(b, vals, v, nms_thresh)
         boxes_all.append(b)
         scores_all.append(jnp.where(keep, vals, NEG_INF))
-        valid_all.append(keep)
     boxes = jnp.concatenate(boxes_all)
     masked = jnp.concatenate(scores_all)
 

@@ -262,9 +262,13 @@ def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
 
     canvases: (G, T, T) uint8; meta: (G, 3) float32 (a_y, a_x, scale);
     boxes: (M, 4) XYXY resized-image coords; mask_idx: (M,) int32;
-    im_size: (2,) float (h, w) — sample coords clamp to the image extent
-    first (ROIAlignV2 border replication) and samples beyond [-1, size]
-    contribute zero, matching the dense path bit-for-bit at image edges.
+    im_size: (2,) float (h, w) TRUE image extent — sample coords clamp to
+    it first (ROIAlignV2 border replication, the detectron2 semantics:
+    BitMasks live on an exactly image-sized plane) and samples beyond
+    [-1, size] contribute zero. Note the dense fallback path samples the
+    loader's zero-padded canvas plane instead, which attenuates
+    bottom/right-edge samples rather than replicating them — this path
+    is the reference-faithful one at image edges.
     Returns (M, P, P) float32.
     """
     g, t, _ = canvases.shape

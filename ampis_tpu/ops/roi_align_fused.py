@@ -26,10 +26,12 @@ Exactness: identical to ops.roi_align.roi_align_packed whenever the RoI's
 sampling footprint on its assigned FPN level fits in the window (default
 32). Canonically-assigned boxes have footprints <= ~15 px, but aspect
 ratios stretch one axis by sqrt(aspect) (real powder data: ~2% of
-particles exceed 30 px). Oversized footprints pool from a 2x-avgpooled
-copy of their level (appended to the concat pack) — ROIAlign on a
-low-passed map rather than a hard clamp; footprints beyond 2*(window-2)
-on the pooled copy still clamp (requires aspect > ~20: unobserved).
+particles exceed 30 px), and boxes clipped to the top pyramid level can
+reach footprint 42 (full-canvas boxes on p5). Oversized footprints pool
+from a 2x-avgpooled copy of their level (appended to the concat pack
+for every level) — ROIAlign on a low-passed map rather than a hard
+clamp; footprints beyond 2*(window-2) on the pooled copy still clamp
+(requires aspect > ~20 on p2-p4: unobserved; impossible on p5).
 
 Reference parity target: detectron2/torchvision ROIAlignV2 as exercised by
 the reference via its box/mask heads (SURVEY.md §2b).
@@ -57,19 +59,23 @@ def _avgpool2_edge(f):
     return out * jnp.asarray(0.25, f.dtype)
 
 
-def concat_feature_levels(features, *, window=32, n_downsampled=2):
+def concat_feature_levels(features, *, window=32, n_downsampled=None):
     """Concatenate per-level NHWC maps along H for window pooling.
 
     features: list of (B, H_l, W_l, C) arrays (one per FPN level, same B/C).
     Levels are zero-padded to max(W_l) in W and to >= window in H, then
-    concatenated along H, followed by a 2x-avgpooled copy of the first
-    ``n_downsampled`` levels: RoIs whose sampling footprint exceeds the
-    window pool from the low-passed copy at half resolution instead of
-    clamping (real powder datasets put ~2% of instances — elongated
-    particles with aspect > 3 — beyond a 32-px footprint, always on
-    p2/p3; see _prepare). Returns (concat, y_offsets, heights, widths)
-    with static geometry tuples of length n_levels + n_downsampled.
+    concatenated along H, followed by a 2x-avgpooled copy of every level
+    (``n_downsampled``, default all): RoIs whose sampling footprint
+    exceeds the window pool from the low-passed copy at half resolution
+    instead of clamping. Oversized footprints occur for elongated p2/p3
+    instances (aspect > 3: ~2% of real powder particles) AND for any
+    large box clipped to the top pyramid level (p5 footprints reach 42
+    on a 1333-px canvas), so every level needs its pooled copy. Returns
+    (concat, y_offsets, heights, widths) with static geometry tuples of
+    length n_levels + n_downsampled.
     """
+    if n_downsampled is None:
+        n_downsampled = len(features)
     b, _, _, c = features[0].shape
     features = list(features) + [_avgpool2_edge(f)
                                  for f in features[:n_downsampled]]

