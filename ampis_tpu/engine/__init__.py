@@ -10,4 +10,7 @@ def __getattr__(name):
     if name == "Trainer":
         from .trainer import Trainer
         return Trainer
+    if name == "ProfilerHook":
+        from .profiling import ProfilerHook
+        return ProfilerHook
     raise AttributeError(name)
