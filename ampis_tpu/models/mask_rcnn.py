@@ -28,7 +28,8 @@ from ..ops import box_ops
 from ..ops.roi_align import (assign_levels, crop_and_resize_masks,
                              crop_resize_instance_canvases,
                              pack_feature_levels, roi_align_packed)
-from ..ops.roi_align_fused import concat_feature_levels, roi_align_windows
+from ..ops.roi_align_fused import (concat_feature_levels, roi_align_windows,
+                                   roi_align_windows_trainable)
 from .anchors import multilevel_anchors
 from .fpn import FPN
 from .resnet import ResNet
@@ -144,14 +145,19 @@ class MaskRCNN(nn.Module):
             output_size=resolution, max_sr=self.pooler_max_sr,
             sampling_ratio=self.pooler_sampling_ratio, chunk=self.roi_chunk)
 
-    def _pool_fused(self, pack, boxes, valid, resolution):
-        """Window-DMA Pallas RoIAlign (inference hot path on TPU)."""
+    def _pool_fused(self, pack, boxes, valid, resolution, trainable=False):
+        """Window-DMA Pallas RoIAlign (TPU hot path; see ops.roi_align_fused).
+
+        ``trainable`` uses the custom-VJP variant whose backward
+        scatter-adds per-RoI window gradients into the feature plane.
+        """
         b, k = boxes.shape[:2]
         flat = jnp.where(valid.reshape(-1, 1), boxes.reshape(-1, 4), 0.0)
         levels = assign_levels(flat)
         img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES)
-        return roi_align_windows(
+        fn = roi_align_windows_trainable if trainable else roi_align_windows
+        return fn(
             pack, flat, img_idx, levels, valid.reshape(-1),
             strides=strides, output_size=resolution,
             max_sr=self.pooler_max_sr, window=self.roi_window)
@@ -281,9 +287,19 @@ class MaskRCNN(nn.Module):
 
         # --- box head ---
         s = self.roi_batch_per_image
-        packed, strides = self._packed_features(feats, b)
-        pooled = self._pool(packed, strides, sampled["boxes"],
-                            sampled["valid"], self.box_pooler_resolution)
+        use_fused = self.fused_roi and jax.default_backend() == "tpu"
+        if use_fused:
+            pack = concat_feature_levels(
+                [feats[f] for f in BOX_FEATURES], window=self.roi_window)
+            pooled = self._pool_fused(pack, sampled["boxes"],
+                                      sampled["valid"],
+                                      self.box_pooler_resolution,
+                                      trainable=True)
+        else:
+            packed, strides = self._packed_features(feats, b)
+            pooled = self._pool(packed, strides, sampled["boxes"],
+                                sampled["valid"],
+                                self.box_pooler_resolution)
         cls_logits, box_deltas = self.box_head(pooled)
 
         def box_loss_one(cl, bd, smp, gtb):
@@ -311,8 +327,14 @@ class MaskRCNN(nn.Module):
             }
 
         fg = jax.vmap(fg_subset)(sampled)
-        mask_pooled = self._pool(packed, strides, fg["boxes"], fg["valid"],
-                                 self.mask_pooler_resolution)
+        if use_fused:
+            mask_pooled = self._pool_fused(pack, fg["boxes"], fg["valid"],
+                                           self.mask_pooler_resolution,
+                                           trainable=True)
+        else:
+            mask_pooled = self._pool(packed, strides, fg["boxes"],
+                                     fg["valid"],
+                                     self.mask_pooler_resolution)
         mask_logits = self.mask_head(mask_pooled)
         out_res = mask_logits.shape[1]
 

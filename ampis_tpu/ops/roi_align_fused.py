@@ -50,13 +50,48 @@ from jax.experimental.pallas import tpu as pltpu
 X_ALIGN = 8  # HBM sublane tiling: DMA x-origins must be 8-aligned
 
 
+_AP_VJP_CACHE = {}
+
+
 def _avgpool2_edge(f):
-    """2x2 mean pool with edge replication for odd extents (NHWC)."""
-    b, h, w, c = f.shape
-    f = jnp.pad(f, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), mode="edge")
-    out = jax.lax.reduce_window(f, jnp.zeros((), f.dtype), jax.lax.add,
-                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-    return out * jnp.asarray(0.25, f.dtype)
+    """2x2 mean pool with edge replication for odd extents (NHWC).
+
+    Custom VJP (the generic reduce_window has no linearization rule on
+    this path): backward is a 2x nearest upsample scaled by 0.25, with
+    the edge-replicated row/col gradients folded back onto the last real
+    row/col.
+    """
+    key = (f.shape[1] % 2, f.shape[2] % 2)
+    if key not in _AP_VJP_CACHE:
+        ph, pw = key
+
+        def fwd_impl(x):
+            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                         mode="edge")
+            out = jax.lax.reduce_window(
+                xp, jnp.zeros((), x.dtype), jax.lax.add,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            return out * jnp.asarray(0.25, x.dtype)
+
+        @jax.custom_vjp
+        def fn(x):
+            return fwd_impl(x)
+
+        def fn_fwd(x):
+            return fwd_impl(x), ()
+
+        def fn_bwd(_, g):
+            u = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2) \
+                * jnp.asarray(0.25, g.dtype)
+            if ph:
+                u = u.at[:, -2].add(u[:, -1])[:, :-1]
+            if pw:
+                u = u.at[:, :, -2].add(u[:, :, -1])[:, :, :-1]
+            return (u,)
+
+        fn.defvjp(fn_fwd, fn_bwd)
+        _AP_VJP_CACHE[key] = fn
+    return _AP_VJP_CACHE[key](f)
 
 
 def concat_feature_levels(features, *, window=32, n_downsampled=None):
@@ -259,8 +294,16 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
         origins = jnp.pad(origins, ((0, pad), (0, 0)))
         wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
-    n_pad = n + pad
 
+    out = _pooled_call(origins, concat, wy, wx, P=P, S=S, window=window,
+                       xwin=xwin, interpret=interpret)
+    return out[:n] if pad else out
+
+
+def _pooled_call(origins, concat, wy, wx, *, P, S, window, xwin,
+                 interpret):
+    n_pad = origins.shape[0]
+    C = concat.shape[3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pad // GROUP,),
@@ -280,10 +323,91 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
     )
     kernel = partial(_roi_window_kernel, window=window, xwin=xwin, P=P, S=S,
                      C=C)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), concat.dtype),
         interpret=interpret,
     )(origins, concat, wy, wx)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _pooled_trainable(origins, concat, wy, wx, P, S, window, xwin,
+                      interpret, cshape, cdtype):
+    """Differentiable (w.r.t. ``concat``) window pooling.
+
+    The pooled output is bilinear in the features: out[n, py, px, c] =
+    sum_vw Wy[n, py, v] Wx[n, px, w] win_n[v, w, c], so the feature
+    cotangent is the transpose — per-RoI window gradients built by two
+    batched einsums, scatter-added into the concat plane at the DMA
+    origins. Hat weights / origins derive from (stop-gradient) boxes and
+    carry no gradient. cshape/cdtype are concat's static shape and dtype
+    name (custom_vjp residuals must be JAX types).
+    """
+    return _pooled_call(origins, concat, wy, wx, P=P, S=S, window=window,
+                        xwin=xwin, interpret=interpret)
+
+
+def _pooled_fwd(origins, concat, wy, wx, P, S, window, xwin, interpret,
+                cshape, cdtype):
+    out = _pooled_call(origins, concat, wy, wx, P=P, S=S, window=window,
+                       xwin=xwin, interpret=interpret)
+    return out, (origins, wy, wx)
+
+
+def _pooled_bwd(P, S, window, xwin, interpret, cshape, cdtype, res, g):
+    origins, wy, wx = res
+    g32 = g.astype(jnp.float32)
+    # x-transpose then y-transpose of the forward interpolation
+    t = jnp.einsum("nxw,nyxc->nywc", wx, g32)       # (N, P, xwin, C)
+    u = jnp.einsum("nyv,nywc->nvwc", wy, t)         # (N, window, xwin, C)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1, 2))
+    dcat = jax.lax.scatter_add(
+        jnp.zeros(cshape, jnp.float32), origins[:, :3], u, dnums)
+
+    def zero(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    return (zero(origins), dcat.astype(cdtype), zero(wy), zero(wx))
+
+
+_pooled_trainable.defvjp(_pooled_fwd, _pooled_bwd)
+
+
+def roi_align_windows_trainable(concat_pack, boxes, img_idx, levels, valid,
+                                *, strides, output_size=7, max_sr=2,
+                                window=32, interpret=None):
+    """roi_align_windows with a feature gradient (training hot path).
+
+    Boxes must already be stop-gradient (detectron2 semantics: proposals
+    do not backprop into the RPN through the heads).
+    """
+    concat, y_offsets, heights, widths = concat_pack
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = boxes.shape[0]
+    P, S = output_size, max_sr
+    xwin = window + X_ALIGN
+
+    origins, wy, wx = _prepare(
+        boxes, img_idx, levels, valid, strides=strides, heights=heights,
+        widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
+        window=window)
+    origins = jax.lax.stop_gradient(origins)
+    wy = jax.lax.stop_gradient(wy)
+    wx = jax.lax.stop_gradient(wx)
+
+    pad = (-n) % GROUP
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+
+    out = _pooled_trainable(origins, concat, wy, wx, P, S, window, xwin,
+                            interpret, tuple(concat.shape),
+                            str(concat.dtype))
     return out[:n] if pad else out

@@ -14,7 +14,8 @@ import pytest
 from ampis_tpu.ops.roi_align import (assign_levels, pack_feature_levels,
                                      roi_align_packed)
 from ampis_tpu.ops.roi_align_fused import (concat_feature_levels,
-                                           roi_align_windows)
+                                           roi_align_windows,
+                                           roi_align_windows_trainable)
 
 STRIDES = (4, 8, 16, 32)
 SHAPES = [(52, 80), (26, 40), (13, 20), (7, 10)]  # canvas 208x320
@@ -157,6 +158,54 @@ def test_p5_clipped_giant_box_demotes(setup):
     # that matters is the 8-entry pack. For footprint > window coverage
     # see test_oversized_footprint_uses_lowpassed_level.
     assert np.abs(out - exact).max() / denom < 0.05
+
+
+def test_trainable_gradients_match_gather_path(setup):
+    """The custom-VJP feature gradient must equal the gather path's.
+
+    Both compute d(loss)/d(features) of the same bilinear pooling; the
+    fused backward scatter-adds per-RoI window grads built from the hat
+    weights.
+    """
+    b, feats, boxes, img_idx, valid = setup
+    boxes = boxes[:16]
+    img_idx = img_idx[:16]
+    valid = valid[:16]
+    levels = assign_levels(boxes)
+    # restrict to in-window boxes so both paths are numerically identical
+    span = np.maximum(
+        np.asarray(boxes)[:, 2] - np.asarray(boxes)[:, 0],
+        np.asarray(boxes)[:, 3] - np.asarray(boxes)[:, 1]) \
+        / np.asarray(STRIDES)[np.asarray(levels)]
+    keep = jnp.asarray(span < 29.5) & valid
+
+    rs = np.random.RandomState(5)
+    cot = jnp.asarray(rs.randn(16, 7, 7, 256).astype(np.float32))
+
+    def loss_fused(feats_in):
+        pack = concat_feature_levels(feats_in, window=32)
+        out = roi_align_windows_trainable(
+            pack, boxes, img_idx, levels, keep, strides=STRIDES,
+            output_size=7, max_sr=2, window=32, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_gather(feats_in):
+        feature_list = [feats_in[lv][i] for i in range(b)
+                        for lv in range(4)]
+        packed = pack_feature_levels(feature_list)
+        fb = jnp.where(keep[:, None], boxes, 0.0)
+        out = roi_align_packed(
+            packed, fb, img_idx * 4 + levels, strides=STRIDES * b,
+            output_size=7, max_sr=2, sampling_ratio=0, chunk=16)
+        out = out * keep[:, None, None, None]
+        return jnp.sum(out * cot)
+
+    v1, g1 = jax.value_and_grad(loss_fused)(feats)
+    v2, g2 = jax.value_and_grad(loss_gather)(feats)
+    assert np.allclose(float(v1), float(v2), rtol=1e-5)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-4)
 
 
 def test_small_canvas_levels_pad_to_window():
