@@ -13,4 +13,7 @@ def __getattr__(name):
     if name == "ProfilerHook":
         from .profiling import ProfilerHook
         return ProfilerHook
+    if name == "trace":
+        from .profiling import trace
+        return trace
     raise AttributeError(name)

@@ -33,25 +33,40 @@ class ProfilerHook:
     def __init__(self, output_dir, start=10, stop=13):
         self._dir = str(output_dir)
         self._start = start
-        self._stop = stop
+        self._span = max(stop - start, 1)
         self._active = False
+        self._done = False
+        self._started_at = None
         self.trainer = None  # set by trainer on registration
 
     def after_step(self):
         it = self.trainer.iter
-        if not self._active and it + 1 == self._start:
+        if not self._active and not self._done and it + 1 >= self._start:
+            # >=: a resumed run already past `start` still captures a
+            # window of `stop - start` steps
             jax.profiler.start_trace(self._dir)
             self._active = True
-        elif self._active and it + 1 >= self._stop:
-            jax.block_until_ready(self.trainer.params)
-            jax.profiler.stop_trace()
-            self._active = False
-            print(f"profiler: wrote device trace for iters "
-                  f"[{self._start}, {self._stop}) to {self._dir}")
+            self._started_at = it + 1
+        elif self._active and it + 1 >= self._started_at + self._span:
+            self._stop_trace()
+
+    def after_train(self):
+        # training may end inside (or before completing) the window:
+        # never leave the process-global profiler running
+        if self._active:
+            self._stop_trace()
+
+    def _stop_trace(self):
+        jax.block_until_ready(self.trainer.params)
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+        print(f"profiler: wrote device trace starting at iter "
+              f"{self._started_at} to {self._dir}")
 
 
 @contextlib.contextmanager
-def trace(output_dir, warmup=None):
+def trace(output_dir):
     """Capture a device trace around a block of device work.
 
     >>> with trace('/tmp/trace'):

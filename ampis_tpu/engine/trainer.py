@@ -281,6 +281,10 @@ class Trainer:
                     or next_iter == end):
                 self.save(next_iter)
         self.iter = end
+        for h in self._hooks:
+            after_train = getattr(h, "after_train", None)
+            if after_train is not None:
+                after_train()
         return self
 
     def save(self, step=None):

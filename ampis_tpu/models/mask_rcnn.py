@@ -28,8 +28,7 @@ from ..ops import box_ops
 from ..ops.roi_align import (assign_levels, crop_and_resize_masks,
                              crop_resize_instance_canvases,
                              pack_feature_levels, roi_align_packed)
-from ..ops.roi_align_fused import (concat_feature_levels, roi_align_windows,
-                                   roi_align_windows_trainable)
+from ..ops.roi_align_fused import concat_feature_levels, roi_align_windows
 from .anchors import multilevel_anchors
 from .fpn import FPN
 from .resnet import ResNet
@@ -156,11 +155,11 @@ class MaskRCNN(nn.Module):
         levels = assign_levels(flat)
         img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES)
-        fn = roi_align_windows_trainable if trainable else roi_align_windows
-        return fn(
+        return roi_align_windows(
             pack, flat, img_idx, levels, valid.reshape(-1),
             strides=strides, output_size=resolution,
-            max_sr=self.pooler_max_sr, window=self.roi_window)
+            max_sr=self.pooler_max_sr, window=self.roi_window,
+            trainable=trainable)
 
     # -- inference ----------------------------------------------------------
 

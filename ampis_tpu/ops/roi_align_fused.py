@@ -268,19 +268,22 @@ def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
 
 def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
                       strides, output_size=7, max_sr=2, window=32,
-                      interpret=None):
+                      interpret=None, trainable=False):
     """Pool N boxes into (N, P, P, C) with the window-DMA Pallas kernel.
 
     concat_pack: output of concat_feature_levels (with static geometry);
     boxes: (N, 4) XYXY image coords; img_idx: (N,) int32; levels: (N,)
     int32 FPN level index; valid: (N,) bool (invalid rows pool to zero);
-    strides: static per-level stride tuple.
+    strides: static per-level stride tuple. With ``trainable`` the call
+    carries a feature gradient (custom VJP: per-RoI window gradients
+    scatter-added into the feature plane); boxes must then already be
+    stop-gradient (detectron2 semantics: proposals do not backprop into
+    the RPN through the heads).
     """
     concat, y_offsets, heights, widths = concat_pack
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = boxes.shape[0]
-    C = concat.shape[3]
     P, S = output_size, max_sr
     xwin = window + X_ALIGN
 
@@ -288,6 +291,10 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
         boxes, img_idx, levels, valid, strides=strides, heights=heights,
         widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
         window=window)
+    if trainable:
+        origins = jax.lax.stop_gradient(origins)
+        wy = jax.lax.stop_gradient(wy)
+        wx = jax.lax.stop_gradient(wx)
 
     pad = (-n) % GROUP
     if pad:
@@ -295,8 +302,13 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
         wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
 
-    out = _pooled_call(origins, concat, wy, wx, P=P, S=S, window=window,
-                       xwin=xwin, interpret=interpret)
+    if trainable:
+        out = _pooled_trainable(origins, concat, wy, wx, P, S, window,
+                                xwin, interpret, tuple(concat.shape),
+                                str(concat.dtype))
+    else:
+        out = _pooled_call(origins, concat, wy, wx, P=P, S=S,
+                           window=window, xwin=xwin, interpret=interpret)
     return out[:n] if pad else out
 
 
@@ -379,35 +391,7 @@ _pooled_trainable.defvjp(_pooled_fwd, _pooled_bwd)
 
 
 def roi_align_windows_trainable(concat_pack, boxes, img_idx, levels, valid,
-                                *, strides, output_size=7, max_sr=2,
-                                window=32, interpret=None):
-    """roi_align_windows with a feature gradient (training hot path).
-
-    Boxes must already be stop-gradient (detectron2 semantics: proposals
-    do not backprop into the RPN through the heads).
-    """
-    concat, y_offsets, heights, widths = concat_pack
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n = boxes.shape[0]
-    P, S = output_size, max_sr
-    xwin = window + X_ALIGN
-
-    origins, wy, wx = _prepare(
-        boxes, img_idx, levels, valid, strides=strides, heights=heights,
-        widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
-        window=window)
-    origins = jax.lax.stop_gradient(origins)
-    wy = jax.lax.stop_gradient(wy)
-    wx = jax.lax.stop_gradient(wx)
-
-    pad = (-n) % GROUP
-    if pad:
-        origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
-        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
-
-    out = _pooled_trainable(origins, concat, wy, wx, P, S, window, xwin,
-                            interpret, tuple(concat.shape),
-                            str(concat.dtype))
-    return out[:n] if pad else out
+                                **kwargs):
+    """Back-compat alias for roi_align_windows(..., trainable=True)."""
+    return roi_align_windows(concat_pack, boxes, img_idx, levels, valid,
+                             trainable=True, **kwargs)
