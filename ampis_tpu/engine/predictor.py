@@ -23,6 +23,7 @@ from ..input.transforms import (get_resize_shape, pad_to_canvas_shape,
                                 preprocess_image)
 from ..models.mask_rcnn import MaskRCNN, build_model, init_params
 from ..structures import Instances, SoftMasks
+from ..utils.compile_cache import enable_persistent_cache
 from .checkpoint import load_weights
 
 
@@ -30,6 +31,7 @@ class DefaultPredictor:
     """predictor = DefaultPredictor(cfg); outputs = predictor(bgr_image)."""
 
     def __init__(self, cfg, params=None):
+        enable_persistent_cache()
         self.cfg = cfg
         self.model = build_model(cfg)
         if params is None:

@@ -27,6 +27,7 @@ import optax
 
 from ..input.transforms import preprocess_image
 from ..models.mask_rcnn import MaskRCNN, build_model, init_params
+from ..utils.compile_cache import enable_persistent_cache
 from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
 from .checkpoint import (latest_checkpoint, load_weights, restore_checkpoint,
                          save_checkpoint)
@@ -91,6 +92,7 @@ class Trainer:
     """trainer = Trainer(cfg); trainer.resume_or_load(); trainer.train()."""
 
     def __init__(self, cfg):
+        enable_persistent_cache()
         self.cfg = cfg
         self.model = build_model(cfg)
         self.max_iter = cfg.SOLVER.MAX_ITER

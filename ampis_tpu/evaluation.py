@@ -52,6 +52,32 @@ def _gather_image(gt, pred):
     return gt_rles, pred_rles, scores
 
 
+def _greedy_match(iou, thresholds):
+    """COCO greedy matching, vectorized over GTs and IoU thresholds.
+
+    iou: (n_det, n_gt) with detections already in descending score order.
+    Returns (n_det, T) bool. Semantics match pycocotools COCOeval: each
+    detection takes the not-yet-taken GT with the highest IoU >= threshold;
+    on exact IoU ties the later GT index wins (COCOeval's loop updates on
+    non-strict comparison).
+    """
+    n_det, n_gt = iou.shape
+    thresholds = np.asarray(thresholds, np.float64)
+    t = len(thresholds)
+    taken = np.zeros((t, n_gt), bool)
+    matched = np.zeros((n_det, t), bool)
+    rev = slice(None, None, -1)
+    for d in range(n_det):
+        # (T, n_gt) candidates for this detection at every threshold
+        avail = (~taken) & (iou[d] >= thresholds[:, None])
+        cand = np.where(avail, iou[d], -1.0)
+        best = n_gt - 1 - np.argmax(cand[:, rev], axis=1)  # last tie wins
+        ok = cand[np.arange(t), best] >= 0
+        matched[d] = ok
+        taken[np.flatnonzero(ok), best[ok]] = True
+    return matched
+
+
 def evaluate_mask_ap(gt_list, pred_list, iou_thresholds=None,
                      max_dets=None):
     """Single-class COCO mask AP over paired per-image GT and predictions.
@@ -88,19 +114,7 @@ def evaluate_mask_ap(gt_list, pred_list, iou_thresholds=None,
         matched = np.zeros((n_det, t), bool)
         if n_gt:
             iou = RLE.iou(pred_sorted, gt_rles, np.zeros(n_gt, bool))
-            for ti, thr in enumerate(iou_thresholds):
-                gt_taken = np.zeros(n_gt, bool)
-                for d in range(n_det):
-                    best, best_iou = -1, thr
-                    for g in range(n_gt):
-                        if gt_taken[g]:
-                            continue
-                        if iou[d, g] >= best_iou:
-                            best_iou = iou[d, g]
-                            best = g
-                    if best >= 0:
-                        gt_taken[best] = True
-                        matched[d, ti] = True
+            matched = _greedy_match(iou, iou_thresholds)
         all_scores.append(scores_sorted)
         all_matched.append(matched)
 

@@ -31,6 +31,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from ampis_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from ampis_tpu.input.transforms import (get_resize_shape,
                                             pad_to_canvas_shape)
     from ampis_tpu.models.mask_rcnn import MaskRCNN, init_params

@@ -53,6 +53,14 @@ def main():
                          "the shipped sample prediction pickles are used")
     ap.add_argument("--train", action="store_true",
                     help="fine-tune on the training split before predicting")
+    ap.add_argument("--max-iter", type=int, default=2000,
+                    help="training iterations (reference recipe: 2000)")
+    ap.add_argument("--lr", type=float, default=2.5e-4,
+                    help="base learning rate (reference recipe: 2.5e-4)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--freeze-at", type=int, default=None,
+                    help="backbone freeze stage; defaults to 0 when "
+                         "training from scratch, 2 with pretrained weights")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -79,10 +87,18 @@ def main():
         if args.weights:
             cfg.MODEL.WEIGHTS = args.weights
         if args.train:
-            cfg.SOLVER.IMS_PER_BATCH = 1
-            cfg.SOLVER.MAX_ITER = 2000
-            cfg.SOLVER.CHECKPOINT_PERIOD = 400
-            cfg.SOLVER.BASE_LR = 2.5e-4
+            cfg.SOLVER.IMS_PER_BATCH = args.batch
+            cfg.SOLVER.MAX_ITER = args.max_iter
+            cfg.SOLVER.CHECKPOINT_PERIOD = max(args.max_iter // 5, 1)
+            cfg.SOLVER.BASE_LR = args.lr
+            cfg.SOLVER.STEPS = (int(args.max_iter * 0.7),
+                                int(args.max_iter * 0.9))
+            cfg.SOLVER.WARMUP_ITERS = min(1000, max(args.max_iter // 10, 1))
+            # a frozen random backbone can't learn: only freeze stages
+            # when starting from pretrained weights
+            cfg.MODEL.BACKBONE.FREEZE_AT = (
+                args.freeze_at if args.freeze_at is not None
+                else (2 if args.weights else 0))
             cfg.OUTPUT_DIR = str(outdir / "train")
             from ampis_tpu.data_utils import AmpisTrainer
             trainer = AmpisTrainer(cfg)

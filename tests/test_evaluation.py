@@ -61,6 +61,83 @@ def test_multi_image_aggregation():
     assert out["AP"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_score_ties_keep_input_order():
+    """Stable sort: among equal scores the earlier detection ranks first,
+    which changes AP when one is a TP and the other an FP."""
+    gt = [_mask(32, 32, 2, 2, 10, 10)]
+    fp = _mask(32, 32, 20, 20, 5, 5)
+    # TP listed first: precision 1.0 at recall 1 -> AP 1.0
+    out = evaluate_mask_ap([gt], [([gt[0], fp], np.asarray([0.9, 0.9]))])
+    assert out["AP50"] == pytest.approx(1.0, abs=1e-6)
+    # FP listed first: precision 0.5 everywhere -> AP 0.5
+    out = evaluate_mask_ap([gt], [([fp, gt[0]], np.asarray([0.9, 0.9]))])
+    assert out["AP50"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_duplicate_detections_count_once():
+    """A second detection of an already-taken GT is an FP (hand-computed)."""
+    gt = [_mask(32, 32, 2, 2, 10, 10), _mask(32, 32, 18, 18, 8, 8)]
+    dets = [gt[0], gt[0], gt[1]]
+    out = evaluate_mask_ap([gt], [(dets, np.asarray([0.9, 0.8, 0.7]))])
+    # PR points: (r=.5, p=1), (r=.5, p=.5), (r=1, p=2/3); envelope
+    # gives p=1 for r<=0.5 (51 pts) and 2/3 above (50 pts)
+    assert out["AP50"] == pytest.approx((51 + 50 * 2 / 3) / 101, abs=1e-6)
+
+
+def test_empty_images_enter_totals():
+    """GT-only and det-only images adjust recall/precision (hand-computed)."""
+    g1 = [_mask(32, 32, 2, 2, 10, 10)]   # missed entirely
+    g3 = [_mask(32, 32, 4, 4, 12, 12)]   # found perfectly
+    fp = _mask(32, 32, 20, 20, 6, 6)     # on an image with no GT
+    out = evaluate_mask_ap(
+        [g1, [], g3],
+        [([], np.zeros(0)), ([fp], np.asarray([0.95])),
+         (g3, np.asarray([0.9]))])
+    # global ranking: FP(0.95), TP(0.9); n_gt=2 -> precision 0.5 capped
+    # at recall 0.5: 51 of 101 points see precision 0.5
+    assert out["AP50"] == pytest.approx(51 * 0.5 / 101, abs=1e-6)
+    assert out["AR"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_no_gt_no_dets_zero():
+    out = evaluate_mask_ap([[]], [([], np.zeros(0))])
+    assert out["AP"] == 0.0 and out["AR"] == 0.0
+
+
+def _greedy_match_loops(iou, thresholds):
+    """Straightforward per-threshold greedy loop (the pre-vectorization
+    implementation, kept as the differential oracle)."""
+    n_det, n_gt = iou.shape
+    matched = np.zeros((n_det, len(thresholds)), bool)
+    for ti, thr in enumerate(thresholds):
+        taken = np.zeros(n_gt, bool)
+        for d in range(n_det):
+            best, best_iou = -1, thr
+            for g in range(n_gt):
+                if taken[g]:
+                    continue
+                if iou[d, g] >= best_iou:
+                    best_iou = iou[d, g]
+                    best = g
+            if best >= 0:
+                taken[best] = True
+                matched[d, ti] = True
+    return matched
+
+
+def test_greedy_match_vectorized_equals_loops():
+    from ampis_tpu.evaluation import IOU_THRESHOLDS, _greedy_match
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n_det = rng.randint(1, 30)
+        n_gt = rng.randint(1, 20)
+        # quantized IoUs force exact ties, exercising last-gt-wins
+        iou = rng.randint(0, 11, (n_det, n_gt)) / 10.0
+        got = _greedy_match(iou, IOU_THRESHOLDS)
+        want = _greedy_match_loops(iou, IOU_THRESHOLDS)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_shipped_predictions_against_gt(reference_root):
     """Mask AP of the reference model's own shipped predictions vs the VIA
     ground truth (powder validation image) — pins the whole pipeline:
