@@ -61,9 +61,12 @@ class LossEvalHook:
         mean_loss = float(np.mean(losses))
         valid_losses_all = np.asarray(
             [list(md.values()) for md in metrics_dicts]).mean(axis=0)
-        self.trainer.storage.put_scalar('validation_loss', mean_loss)
+        rec = {'validation_loss': mean_loss}
         for k, v in zip(metrics_dicts[-1].keys(), valid_losses_all):
-            self.trainer.storage.put_scalar('valid_' + k, float(v))
+            rec['valid_' + k] = float(v)
+        for k, v in rec.items():
+            self.trainer.storage.put_scalar(k, v)
+        self.trainer.storage.write_record(self.trainer.storage.iter, rec)
         return losses
 
     def _get_loss(self, data):

@@ -71,7 +71,8 @@ def _deconv(w):
     in the fractionally-strided convolution, which corresponds to torch's
     ConvTranspose2d with the kernel spatially flipped; for the 2x2/stride-2
     non-overlapping deconv this means reversing both spatial axes.
-    (Pinned by tests/test_convert.py::test_deconv_layout.)
+    (Pinned by tests/test_convert.py::test_mask_head_parity_deconv_layout
+    and tests/test_model.py::test_deconv_layout_matches_torch_semantics.)
     """
     w = np.transpose(w, (2, 3, 0, 1))          # (kh, kw, in, out)
     return np.ascontiguousarray(w[::-1, ::-1])

@@ -248,7 +248,9 @@ def get_cfg() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.MESH_SHAPE = None          # e.g. [8] for 8-way data parallel
     c.TPU.MESH_AXES = ("data",)
-    c.TPU.USE_PALLAS = True          # pallas kernels where available
+    c.TPU.USE_PALLAS = True          # True: pallas on TPU backends;
+    #                                  False: portable path everywhere;
+    #                                  "force": pallas even off-TPU
     c.TPU.COMPUTE_DTYPE = "bfloat16"
     # per-instance GT mask crop canvas (T, T): ~60x less host->device
     # traffic than dense (G, H, W) mask stacks; instances larger than

@@ -157,8 +157,8 @@ class DetectionLoader:
         if self.mask_canvas:
             t = self.mask_canvas
             masks = np.zeros((g, t, t), np.uint8)
-            mask_meta = np.zeros((g, 3), np.float32)
-            mask_meta[:, 2] = 1.0
+            mask_meta = np.zeros((g, 4), np.float32)
+            mask_meta[:, 2:4] = 1.0
         else:
             masks = np.zeros((g,) + self.canvas, np.uint8)
             mask_meta = None

@@ -18,7 +18,7 @@ class EventStorage:
         self._history = defaultdict(list)
         self._latest = {}
         self.iter = start_iter
-        self._log_period = log_period
+        self.log_period = log_period
         self._file = None
         if output_dir is not None:
             Path(output_dir).mkdir(parents=True, exist_ok=True)
@@ -43,16 +43,25 @@ class EventStorage:
     def step(self):
         self.iter += 1
 
+    def write_record(self, iteration, scalars):
+        """Append one metrics.json line (no console output, no flush).
+
+        The trainer calls this once per iteration when it materializes a
+        log period's deferred scalars, so metrics.json keeps the full
+        per-iteration record even though device fetches are batched.
+        """
+        if self._file is not None:
+            self._file.write(json.dumps(
+                {"iteration": int(iteration), **scalars}) + "\n")
+
     def write(self):
-        """Flush latest scalars to the metrics file and the console.
+        """Flush the metrics file and print the latest scalars.
 
         The caller controls the cadence (the trainer calls this once per
         log period, right after materializing that period's scalars —
-        every metrics.json line and console print carries fresh values).
+        every console print carries fresh values).
         """
         if self._file is not None:
-            rec = {"iteration": self.iter, **self._latest}
-            self._file.write(json.dumps(rec) + "\n")
             self._file.flush()
         elapsed = time.time() - self._t0
         parts = [f"iter: {self.iter}"]

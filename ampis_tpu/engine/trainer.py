@@ -241,19 +241,24 @@ class Trainer:
         Loss scalars stay on device between flushes so the train loop
         never blocks on a host round-trip per step (the device queue keeps
         several steps in flight); one batched device_get every
-        ``log_period`` iters fetches them all.
+        ``log_period`` iters fetches them all, and every fetched iteration
+        gets its own metrics.json record (a crash loses at most one log
+        period; NaNs surface at the next flush).
         """
         if not self._pending:
             return
         fetched = jax.device_get(self._pending)
         saved_iter = self.storage.iter
         for it_i, total, losses, dt in fetched:
-            self.storage.iter = int(it_i)
-            self.storage.put_scalar("total_loss", float(total))
+            rec = {"total_loss": float(total)}
             for k, v in losses.items():
-                self.storage.put_scalar(k, float(v))
-            self.storage.put_scalar("lr", schedule_host(int(it_i)))
-            self.storage.put_scalar("time", float(dt))
+                rec[k] = float(v)
+            rec["lr"] = schedule_host(int(it_i))
+            rec["time"] = float(dt)
+            self.storage.iter = int(it_i)
+            for k, v in rec.items():
+                self.storage.put_scalar(k, v)
+            self.storage.write_record(it_i, rec)
         self.storage.iter = saved_iter
         self._pending = []
 
@@ -264,7 +269,7 @@ class Trainer:
         t_last = time.time()
         schedule_host = build_lr_schedule(self.cfg, host=True)
         self._pending = []
-        log_period = max(int(getattr(self.storage, "_log_period", 20)), 1)
+        log_period = max(int(self.storage.log_period), 1)
         for self.iter in range(start, end):
             self.storage.iter = self.iter
             batch = next(it)

@@ -67,17 +67,21 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
 def _resize_matmul(img, new_shape):
     """Separable bilinear+antialias resize of (H, W, C) via two matmuls.
 
-    Runs in bf16 with f32 accumulation: uint8 pixel values are exact in
-    bf16 and the result feeds a bf16 backbone, so the ~0.4% weight
-    rounding is below the compute precision downstream anyway.
+    On TPU this runs in bf16 with f32 accumulation: uint8 pixel values are
+    exact in bf16 and the result feeds a bf16 backbone, so the ~0.4%
+    weight rounding is below the compute precision downstream. Off-TPU
+    (CPU parity tests, GPU) the matrices stay f32 — the 3-channel tiling
+    rationale for bf16 doesn't apply there.
     """
     h, w, c = img.shape
     nh, nw = new_shape
-    ry = jnp.asarray(_resize_matrix(h, nh)).astype(jnp.bfloat16)
-    rx = jnp.asarray(_resize_matrix(w, nw)).astype(jnp.bfloat16)
-    x = img.astype(jnp.bfloat16)
+    mat_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
+    ry = jnp.asarray(_resize_matrix(h, nh)).astype(mat_dtype)
+    rx = jnp.asarray(_resize_matrix(w, nw)).astype(mat_dtype)
+    x = img.astype(mat_dtype)
     t = jnp.einsum("oh,hwc->owc", ry, x,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                   preferred_element_type=jnp.float32).astype(mat_dtype)
     return jnp.einsum("pw,owc->opc", rx, t,
                       preferred_element_type=jnp.float32)
 

@@ -74,10 +74,15 @@ class MaskRCNN(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
     roi_chunk: int = 256
-    # window-DMA Pallas RoIAlign on the inference path (TPU backends only;
-    # exact for RoIs whose footprint on their FPN level spans < roi_window
-    # px — see ops.roi_align_fused)
-    fused_roi: bool = True
+    # window-DMA Pallas RoIAlign (exact for RoIs whose footprint on their
+    # FPN level spans < roi_window px — see ops.roi_align_fused).
+    # True forces the compiled Pallas path, False the portable gather
+    # path, "auto" picks Pallas iff the default backend is TPU. Thread an
+    # explicit value (cfg.TPU.USE_PALLAS via build_model) when tracing for
+    # a non-default backend (AOT export, jit(..., backend=...)).
+    fused_roi: Any = "auto"
+    # Pallas interpret mode: "auto" = interpret off-TPU
+    fused_interpret: Any = "auto"
     roi_window: int = 32
 
     def setup(self):
@@ -159,7 +164,17 @@ class MaskRCNN(nn.Module):
             pack, flat, img_idx, levels, valid.reshape(-1),
             strides=strides, output_size=resolution,
             max_sr=self.pooler_max_sr, window=self.roi_window,
-            trainable=trainable)
+            interpret=self._fused_interpret(), trainable=trainable)
+
+    def _use_fused(self):
+        if self.fused_roi == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.fused_roi)
+
+    def _fused_interpret(self):
+        if self.fused_interpret == "auto":
+            return jax.default_backend() != "tpu"
+        return bool(self.fused_interpret)
 
     # -- inference ----------------------------------------------------------
 
@@ -180,7 +195,7 @@ class MaskRCNN(nn.Module):
             logits, deltas, anchors, image_sizes, train=False)
         k = proposals.shape[1]
 
-        use_fused = self.fused_roi and jax.default_backend() == "tpu"
+        use_fused = self._use_fused()
         if use_fused:
             pack = concat_feature_levels(
                 [feats[f] for f in BOX_FEATURES], window=self.roi_window)
@@ -240,7 +255,7 @@ class MaskRCNN(nn.Module):
 
         * gt_mask_meta is None: gt_masks is a dense (B, G, H, W) uint8
           stack at the resized canvas resolution (reference-style);
-        * gt_mask_meta (B, G, 3): gt_masks is (B, G, T, T) uint8
+        * gt_mask_meta (B, G, 4): gt_masks is (B, G, T, T) uint8
           per-instance crop canvases with affine maps back to image
           coords (the TPU-native form — ~60x less host->device traffic
           for high-instance-density workloads; see
@@ -286,7 +301,7 @@ class MaskRCNN(nn.Module):
 
         # --- box head ---
         s = self.roi_batch_per_image
-        use_fused = self.fused_roi and jax.default_backend() == "tpu"
+        use_fused = self._use_fused()
         if use_fused:
             pack = concat_feature_levels(
                 [feats[f] for f in BOX_FEATURES], window=self.roi_window)
@@ -400,6 +415,11 @@ def build_model(cfg) -> MaskRCNN:
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         depth=cfg.MODEL.RESNETS.DEPTH,
         dtype=dtype,
+        # USE_PALLAS: True = auto-detect (Pallas on TPU), False = portable
+        # gather path everywhere, "force" = Pallas even off-TPU
+        fused_roi=("auto" if cfg.TPU.USE_PALLAS is True
+                   else True if cfg.TPU.USE_PALLAS == "force"
+                   else False),
     )
 
 

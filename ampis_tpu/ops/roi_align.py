@@ -250,7 +250,7 @@ def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
     holding its mask crop (zero border guaranteed) plus an affine map
     back to resized-image coordinates:
 
-        image_coord = meta[g, 0:2] + canvas_coord * meta[g, 2]
+        image_coord = meta[g, 0:2] + canvas_coord * meta[g, 2:4]
 
     Sampling semantics match crop_and_resize_masks (ROIAlignV2 at scale 1
     on the full-res plane): the GT mask is zero everywhere outside its
@@ -260,7 +260,8 @@ def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
     bilinearly downscaled into the canvas (loader side), making targets
     a low-passed approximation for those.
 
-    canvases: (G, T, T) uint8; meta: (G, 3) float32 (a_y, a_x, scale);
+    canvases: (G, T, T) uint8; meta: (G, 4) float32 (a_y, a_x, scale_y,
+    scale_x);
     boxes: (M, 4) XYXY resized-image coords; mask_idx: (M,) int32;
     im_size: (2,) float (h, w) TRUE image extent — sample coords clamp to
     it first (ROIAlignV2 border replication, the detectron2 semantics:
@@ -304,10 +305,11 @@ def crop_resize_instance_canvases(canvases, meta, boxes, mask_idx, im_size,
     xs = jnp.clip(xs, 0.0, w_im - 1.0)
 
     sel = jnp.clip(mask_idx.astype(jnp.int32), 0, g - 1)
-    a = meta[sel]                                   # (M, 3)
-    inv = 1.0 / jnp.maximum(a[:, 2], 1e-6)
-    yc = (ys - a[:, 0, None, None]) * inv[:, None, None]
-    xc = (xs - a[:, 1, None, None]) * inv[:, None, None]
+    a = meta[sel]                                   # (M, 4)
+    inv_y = 1.0 / jnp.maximum(a[:, 2], 1e-6)
+    inv_x = 1.0 / jnp.maximum(a[:, 3], 1e-6)
+    yc = (ys - a[:, 0, None, None]) * inv_y[:, None, None]
+    xc = (xs - a[:, 1, None, None]) * inv_x[:, None, None]
 
     ycl = jnp.clip(yc, 0.0, t - 1.0)
     xcl = jnp.clip(xc, 0.0, t - 1.0)
@@ -340,37 +342,39 @@ def instance_mask_canvas(mask, canvas_size=128, origin=(0, 0)):
     ``mask`` may be the full-image mask or a local crop whose top-left
     sits at ``origin`` (y, x) in image coords — the loader rasterizes
     instances directly into local crops so packing is O(instance area),
-    not O(image area). Returns (canvas uint8, (a_y, a_x, scale) float).
-    The canvas keeps a >= 1 px zero border on every side; instances
-    larger than T - 2 px are bilinearly downscaled (aspect preserved) and
-    re-thresholded at 0.5. Inverse map:
-    image_coord = a + canvas_coord * scale.
+    not O(image area). Returns (canvas uint8,
+    (a_y, a_x, scale_y, scale_x) float). The canvas keeps a >= 1 px zero
+    border on every side; instances larger than T - 2 px are bilinearly
+    downscaled (aspect approximately preserved; the per-axis scales PIL
+    actually applies can differ by rounding and are both stored so the
+    inverse map is exact). Inverse map:
+    image_coord = a[0:2] + canvas_coord * a[2:4].
     """
     t = canvas_size
     canvas = np.zeros((t, t), np.uint8)
     ys, xs = np.nonzero(mask)
     if ys.size == 0:
-        return canvas, np.asarray([0.0, 0.0, 1.0], np.float32)
+        return canvas, np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
     iy0, iy1 = int(ys.min()), int(ys.max()) + 1
     ix0, ix1 = int(xs.min()), int(xs.max()) + 1
     ch, cw = iy1 - iy0, ix1 - ix0
     crop = mask[iy0:iy1, ix0:ix1]
     scale = max(ch / (t - 2), cw / (t - 2), 1.0)
+    scale_y = scale_x = 1.0
     if scale > 1.0:
         from PIL import Image
         hs = max(int(round(ch / scale)), 1)
         ws = max(int(round(cw / scale)), 1)
-        # recover the actual per-axis scale PIL applies (they can differ
-        # by rounding; use the mean for the single stored scale)
         crop = np.asarray(Image.fromarray(
             crop.astype(np.float32)).resize((ws, hs), Image.BILINEAR))
         crop = (crop >= 0.5).astype(np.uint8)
-        scale = ((ch / hs) + (cw / ws)) / 2.0
+        scale_y = ch / hs
+        scale_x = cw / ws
     h, w = crop.shape
     canvas[1:1 + h, 1:1 + w] = crop
-    a_y = origin[0] + iy0 - 0.5 * scale - 0.5
-    a_x = origin[1] + ix0 - 0.5 * scale - 0.5
-    return canvas, np.asarray([a_y, a_x, scale], np.float32)
+    a_y = origin[0] + iy0 - 0.5 * scale_y - 0.5
+    a_x = origin[1] + ix0 - 0.5 * scale_x - 0.5
+    return canvas, np.asarray([a_y, a_x, scale_y, scale_x], np.float32)
 
 
 @partial(jax.jit, static_argnames=("output_size", "max_sr"))

@@ -225,12 +225,13 @@ GROUP = 4   # RoIs per grid step (amortizes per-step pipeline overhead)
 
 
 def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
-                       win_scratch, sems, *, window, xwin, P, S, C):
+                       win_scratch, sems, *, window, xwin, P, S, C,
+                       n_buf=N_BUF):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     def copy(step, g):
-        slot = jax.lax.rem(step, N_BUF)
+        slot = jax.lax.rem(step, n_buf)
         roi = step * GROUP + g
         img = org_ref[roi, 0]
         ya = org_ref[roi, 1]
@@ -241,20 +242,20 @@ def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
 
     @pl.when(i == 0)
     def _():
-        for j in range(N_BUF - 1):
+        for j in range(n_buf - 1):
             @pl.when(j < n)
             def _():
                 for g in range(GROUP):
                     copy(j, g).start()
 
-    @pl.when(i + N_BUF - 1 < n)
+    @pl.when(i + n_buf - 1 < n)
     def _():
         for g in range(GROUP):
-            copy(i + N_BUF - 1, g).start()
+            copy(i + n_buf - 1, g).start()
 
     for g in range(GROUP):
         copy(i, g).wait()
-        win = win_scratch[jax.lax.rem(i, N_BUF), g].astype(jnp.float32)
+        win = win_scratch[jax.lax.rem(i, n_buf), g].astype(jnp.float32)
         # y interp+average: (P, window) @ (window, xwin*C)
         a = jnp.dot(wy_ref[g], win.reshape(window, xwin * C),
                     preferred_element_type=jnp.float32)
@@ -316,6 +317,12 @@ def _pooled_call(origins, concat, wy, wx, *, P, S, window, xwin,
                  interpret):
     n_pad = origins.shape[0]
     C = concat.shape[3]
+    # Scratch is n_buf*GROUP*window*xwin*C*itemsize (~10.5 MB for the
+    # validated bf16 config); halve the pipeline depth for 4-byte feature
+    # dtypes so f32 models stay within the same VMEM budget instead of
+    # dying with an opaque Mosaic overflow.
+    n_buf = N_BUF if jnp.dtype(concat.dtype).itemsize <= 2 \
+        else max(2, N_BUF // 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pad // GROUP,),
@@ -323,18 +330,18 @@ def _pooled_call(origins, concat, wy, wx, *, P, S, window, xwin,
             # origins stay whole in VMEM: SMEM prefetch pads each scalar to
             # 128 B, overflowing SMEM for thousands of RoIs
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((GROUP, P, window), lambda i: (i, 0, 0)),
             pl.BlockSpec((GROUP, P, xwin), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((GROUP, P, P, C), lambda i: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, GROUP, window, xwin, C), concat.dtype),
-            pltpu.SemaphoreType.DMA((N_BUF, GROUP)),
+            pltpu.VMEM((n_buf, GROUP, window, xwin, C), concat.dtype),
+            pltpu.SemaphoreType.DMA((n_buf, GROUP)),
         ],
     )
     kernel = partial(_roi_window_kernel, window=window, xwin=xwin, P=P, S=S,
-                     C=C)
+                     C=C, n_buf=n_buf)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -25,9 +25,22 @@ jax.config.update("jax_platforms", "cpu")
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
+# Compile-heavy tests (full train-step grads on the 8-device mesh) drop
+# from minutes to seconds on re-runs with the persistent XLA cache.
+from ampis_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 REFERENCE = Path("/root/reference")
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test (full-model jit); deselect with "
+        "-m 'not slow' for the fast profile")
 
 
 @pytest.fixture(scope="session")

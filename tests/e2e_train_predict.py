@@ -57,6 +57,8 @@ def main():
     DatasetCatalog.register("e2e_train", lambda: ddicts)
     DatasetCatalog.register("e2e_val", lambda: ddicts[:1])
 
+    n_iter = 24
+
     cfg = get_cfg()
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
     cfg.INPUT.MIN_SIZE_TRAIN = (96,)
@@ -66,10 +68,11 @@ def main():
     cfg.DATASETS.TRAIN = ("e2e_train",)
     cfg.DATASETS.TEST = ("e2e_val",)
     cfg.SOLVER.IMS_PER_BATCH = 2
-    cfg.SOLVER.MAX_ITER = 2
-    cfg.SOLVER.CHECKPOINT_PERIOD = 2
-    cfg.SOLVER.BASE_LR = 1e-4
-    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.MAX_ITER = n_iter
+    cfg.SOLVER.CHECKPOINT_PERIOD = n_iter
+    cfg.SOLVER.BASE_LR = 5e-3
+    cfg.SOLVER.WARMUP_ITERS = 5
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0  # training from scratch
     cfg.TEST.DETECTIONS_PER_IMAGE = 10
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 200
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 200
@@ -88,13 +91,37 @@ def main():
     assert "validation_loss" in latest, "LossEvalHook must fire at final iter"
     assert np.isfinite(latest["total_loss"]), latest
     assert np.isfinite(latest["validation_loss"]), latest
-    print("TRAIN_OK", {k: round(v, 3) for k, v in latest.items()
-                       if k.startswith(("total", "validation"))})
 
+    # (a) the loss actually goes down over the short run
+    hist = [v for _, v in trainer.storage.history("total_loss")]
+    assert len(hist) == n_iter, f"expected {n_iter} scalar records: {len(hist)}"
+    head, tail = np.mean(hist[:6]), np.mean(hist[-6:])
+    assert tail < head, f"loss did not decrease: head={head:.3f} tail={tail:.3f}"
+    print("TRAIN_OK", {"head_loss": round(float(head), 3),
+                       "tail_loss": round(float(tail), 3),
+                       "validation_loss": round(latest["validation_loss"], 3)})
+
+    # (c) checkpoint-resume restores step and parameters exactly
+    import jax as _jax
     from ampis_tpu.engine.checkpoint import latest_checkpoint
-    from ampis_tpu.engine.predictor import DefaultPredictor
     ck = latest_checkpoint(cfg.OUTPUT_DIR)
     assert ck is not None
+    resumed = AmpisTrainer(cfg).resume_or_load(resume=True)
+    assert resumed.iter == n_iter, resumed.iter
+    for a, b in zip(_jax.tree.leaves(trainer.params),
+                    _jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    batch = next(resumed.train_loader.infinite())
+    total, _ = resumed.run_step(batch)
+    assert np.isfinite(float(total))
+    print("RESUME_OK", resumed.iter)
+
+    # (b) predictions round-trip the shipped-pickle schema into scoring
+    import pickle
+
+    from ampis_tpu import analyze
+    from ampis_tpu.engine.predictor import DefaultPredictor
+    from ampis_tpu.structures import InstanceSet
     cfg2 = cfg.clone()
     cfg2.MODEL.WEIGHTS = str(ck)
     pred = DefaultPredictor(cfg2)
@@ -103,10 +130,27 @@ def main():
     inst = out["instances"]
     assert inst.image_size == (96, 128)
     res = format_outputs(ddicts[0]["file_name"], "e2e_Train", out)
-    masks = res["pred"]["instances"].pred_masks
-    assert isinstance(masks, list)
-    if masks:
-        assert isinstance(masks[0], dict) and "counts" in masks[0]
+
+    # exact shipped-pickle schema (SURVEY.md §4: {'file_name','dataset',
+    # 'pred': {'instances': Instances(pred_boxes f4, scores f4,
+    # pred_classes i8, pred_masks RLE list)}})
+    assert set(res) == {"file_name", "dataset", "pred"}
+    rt = pickle.loads(pickle.dumps(res))  # survives pickling like the samples
+    ri = rt["pred"]["instances"]
+    assert ri.pred_boxes.dtype == np.float32
+    assert ri.scores.dtype == np.float32
+    assert ri.pred_classes.dtype == np.int64
+    assert isinstance(ri.pred_masks, list)
+    if ri.pred_masks:
+        m0 = ri.pred_masks[0]
+        assert isinstance(m0, dict) and {"size", "counts"} <= set(m0)
+        assert m0["size"] == [96, 128]
+
+    iset_pred = InstanceSet().read_from_model_out(rt, inplace=False)
+    iset_gt = InstanceSet().read_from_ddict(ddicts[0], inplace=False)
+    scores = analyze.det_seg_scores(iset_gt, iset_pred, size=(96, 128))
+    assert {"det_precision", "det_recall", "seg_precision",
+            "seg_recall"} <= set(scores)
     print("PREDICT_OK", len(inst))
     print("E2E_OK")
 

@@ -30,7 +30,7 @@ def _blob_masks(rs, g):
 
 def _pack(masks):
     canv = np.zeros((len(masks), T, T), np.uint8)
-    meta = np.zeros((len(masks), 3), np.float32)
+    meta = np.zeros((len(masks), 4), np.float32)
     for i, m in enumerate(masks):
         canv[i], meta[i] = instance_mask_canvas(m, T)
     return jnp.asarray(canv), jnp.asarray(meta)
