@@ -52,6 +52,26 @@ def main():
                      dtype=jnp.bfloat16)
     params = init_params(model, jax.random.PRNGKey(0))
 
+    # Prefer trained weights (realistic score distributions and NMS
+    # workload): BENCH_WEIGHTS env var, else the newest local training
+    # output, else the random init above.
+    ckpt = os.environ.get("BENCH_WEIGHTS")
+    if ckpt is None:
+        cands = sorted(Path(__file__).parent.glob(
+            "powder_out*/train/ckpt_*"),
+            key=lambda p: (p.stat().st_mtime, p.name))
+        ckpt = str(cands[-1]) if cands else None
+    if ckpt:
+        try:
+            from ampis_tpu.engine.checkpoint import load_weights
+            params = jax.tree.map(
+                lambda a, b: jnp.asarray(b, a.dtype), params,
+                load_weights(ckpt, model))
+            print(f"# weights: {ckpt}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — bench must still run
+            print(f"# weights load failed ({e}); using random init",
+                  file=sys.stderr)
+
     # load the real SEM images when available, else synthetic
     img_dir = Path("/root/reference/examples/powder/data/images_png")
     imgs = []

@@ -71,16 +71,18 @@ def main():
     arrs = {k: put(v, batch_sh) for k, v in batch.items()}
     params = jax.tree.map(lambda x: put(np.asarray(x), rep), params)
 
-    def loss_fn(p):
-        losses = model.apply(p, arrs["images"], arrs["sizes"],
-                             arrs["gt_boxes"], arrs["gt_classes"],
-                             arrs["gt_valid"], arrs["gt_masks"],
+    # Global arrays span non-addressable devices: they must be jit
+    # ARGUMENTS, not closed-over constants.
+    def loss_fn(p, a):
+        losses = model.apply(p, a["images"], a["sizes"],
+                             a["gt_boxes"], a["gt_classes"],
+                             a["gt_valid"], a["gt_masks"],
                              jax.random.PRNGKey(1),
                              method=MaskRCNN.losses)
         return sum(losses.values())
 
     with mesh:
-        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, arrs)
         gnorm = jax.jit(
             lambda g: jnp.sqrt(sum(jnp.vdot(x, x)
                                    for x in jax.tree.leaves(g))))(grads)

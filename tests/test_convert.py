@@ -253,6 +253,7 @@ def test_mask_head_parity_deconv_layout(d2_sd, flax_params):
     _close("mask_logits", t, logits)
 
 
+@pytest.mark.slow  # init_params jit-compiles the full model on CPU
 def test_load_d2_pkl_transfer_merge(tmp_path, d2_sd):
     """COCO-shaped heads (80 classes) keep fresh init; backbone loads."""
     import pickle

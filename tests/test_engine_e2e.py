@@ -12,6 +12,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 SCRIPT = Path(__file__).parent / "e2e_train_predict.py"
 
 
@@ -21,7 +23,7 @@ def test_train_checkpoint_predict_roundtrip():
     env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [sys.executable, str(SCRIPT)], env=env, capture_output=True,
-        text=True, timeout=1700)
+        text=True, timeout=2900)
     assert proc.returncode == 0, (
         f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}")
     assert "TRAIN_OK" in proc.stdout

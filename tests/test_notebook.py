@@ -11,6 +11,8 @@ from pathlib import Path
 import matplotlib
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parents[1]
 NOTEBOOK = REPO / "notebooks/ampis_tpu_tutorial.ipynb"
 

@@ -18,8 +18,13 @@ from ampis_tpu.models.mask_rcnn import MaskRCNN, init_params
 from ampis_tpu.parallel.mesh import (batch_sharding, data_parallel_mesh,
                                      replicate, shard_batch)
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    # full train-step grad compiles on the 8-device mesh: minutes cold,
+    # seconds with the persistent compile cache (conftest)
+    pytest.mark.slow,
+]
 
 
 def _tiny_model():
