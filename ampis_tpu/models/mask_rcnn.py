@@ -230,7 +230,9 @@ class MaskRCNN(nn.Module):
             mask_pooled = self._pool(packed, strides, dets["boxes"],
                                      dets["valid"],
                                      self.mask_pooler_resolution)
-        mask_logits = self.mask_head(mask_pooled)          # (B*D, 2P, 2P, C)
+        mask_logits = self.mask_head(
+            mask_pooled, fused_tail=use_fused,
+            interpret=self._fused_interpret())             # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         cls = jnp.clip(dets["classes"].reshape(-1), 0, self.num_classes - 1)
         sel = jnp.take_along_axis(

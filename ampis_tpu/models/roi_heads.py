@@ -22,8 +22,25 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import box_ops
+from ..ops.mask_tail import mask_head_tail
 from ..ops.nms import NEG_INF, batched_nms_mask
 from .rpn import optax_sigmoid_bce, subsample_labels
+
+
+class _ConvParams(nn.Module):
+    """Bare kernel+bias params (mirrors nn.Conv/nn.ConvTranspose layout,
+    names, and default inits) for layers whose compute is applied manually.
+    """
+    kshape: Any
+
+    @nn.compact
+    def __call__(self):
+        shape = tuple(self.kshape)
+        k = self.param("kernel", nn.initializers.lecun_normal(), shape,
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (shape[-1],),
+                       jnp.float32)
+        return k, b
 
 
 class BoxHead(nn.Module):
@@ -56,20 +73,30 @@ class MaskHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_tail=False, interpret=False):
+        """``fused_tail`` runs the deconv+relu+predictor tail as one Pallas
+        kernel (ops.mask_tail) that never materializes the (N, 2P, 2P, 256)
+        activation in HBM — inference hot path on TPU. Both paths share the
+        same parameters (deconv/{kernel,bias}, predictor/{kernel,bias})."""
         x = x.astype(self.dtype)
         for i in range(self.num_conv):
             x = nn.relu(nn.Conv(self.conv_dim, (3, 3),
                                 padding=[(1, 1), (1, 1)], dtype=self.dtype,
                                 param_dtype=jnp.float32,
                                 name=f"mask_fcn{i + 1}")(x))
-        x = nn.relu(nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2),
-                                     dtype=self.dtype,
-                                     param_dtype=jnp.float32,
-                                     name="deconv")(x))
-        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="predictor")(x)
-        return x.astype(jnp.float32)  # logits (N, 2P, 2P, C)
+        kd, bd = _ConvParams((2, 2, self.conv_dim, self.conv_dim),
+                             name="deconv")()
+        kp, bp = _ConvParams((1, 1, self.conv_dim, self.num_classes),
+                             name="predictor")()
+        if fused_tail:
+            return mask_head_tail(x, kd, bd, kp, bp, interpret=interpret)
+        y = jax.lax.conv_transpose(
+            x, kd.astype(self.dtype), strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(y + bd.astype(self.dtype))
+        z = jnp.dot(y, kp.reshape(self.conv_dim, -1).astype(self.dtype))
+        z = z + bp.astype(self.dtype)
+        return z.astype(jnp.float32)  # logits (N, 2P, 2P, C)
 
 
 # ---------------------------------------------------------------------------

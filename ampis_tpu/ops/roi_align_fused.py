@@ -129,14 +129,17 @@ def concat_feature_levels(features, *, window=32, n_downsampled=None):
     return (jnp.concatenate(parts, axis=1), tuple(y_off), heights, widths)
 
 
-def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
+def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1,
+                  win_eff=None):
     """Per-RoI hat weight matrix for one axis.
 
     lo/hi: (N,) box extent in level coords (already scaled, -0.5 shifted);
     size: (N,) true level extent; size_pad: (N,) padded extent in the
     concat tensor; align: origin alignment (the window must absorb
-    ``align - 1`` extra columns when > 1). Returns (w (N, P*S, window)
-    f32, origin (N,) int32).
+    ``align - 1`` extra columns when > 1); win_eff: optional (N,) int32
+    per-RoI effective DMA extent (two-tier pooling) used for the origin
+    clamp — the weight grid width stays ``window``. Returns
+    (w (N, P*S, window) f32, origin (N,) int32).
     """
     span = hi - lo
     bin_sz = span / P
@@ -151,8 +154,9 @@ def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
     in_range = (coords >= -1.0) & (coords <= size[:, None, None])
     sizef = size.astype(jnp.float32)
     cl = jnp.clip(coords, 0.0, (sizef - 1.0)[:, None, None])
+    clamp = size_pad - (window if win_eff is None else win_eff)
     origin = jnp.clip(jnp.floor(cl.min(axis=(1, 2))).astype(jnp.int32),
-                      0, size_pad - window)
+                      0, clamp)
     if align > 1:
         origin = (origin // align) * align
     rel = jnp.clip(cl - origin.astype(jnp.float32)[:, None, None],
@@ -172,9 +176,9 @@ def _axis_weights(lo, hi, size, size_pad, *, P, S, window, align=1):
 
 @partial(jax.jit, static_argnames=("strides", "heights", "widths",
                                    "y_offsets", "output_size", "max_sr",
-                                   "window"))
+                                   "window", "small_window"))
 def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
-             y_offsets, output_size, max_sr, window):
+             y_offsets, output_size, max_sr, window, small_window=None):
     """XLA-side per-RoI prep: origins (N, 4) int32 + hat weights.
 
     Geometry tuples carry 2L entries: L original levels then their
@@ -182,6 +186,14 @@ def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
     demoted to the pooled copy of their level (coords c -> (c - 0.5) / 2:
     a pooled cell's center sits at 2j + 0.5 original pixel-center units),
     turning the hard clamp into a low-pass approximation.
+
+    ``small_window``: optional two-tier DMA extent. RoIs whose footprint
+    fits in small_window - 2 get origins[:, 3] = 1 and an origin clamp
+    matching the smaller DMA (the kernel then moves a
+    (small_window, small_window + X_ALIGN) patch instead of the full
+    window — e.g. 3.3x less HBM traffic at 16 vs 32). Exactness is
+    unchanged: the weight grid stays ``window`` wide and the smaller
+    window fully covers the RoI's sampling support.
     """
     n_lvl = len(strides)
     n_ds = len(heights) - n_lvl
@@ -208,15 +220,24 @@ def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
     x0, x1, y0, y1 = (jnp.where(demote, (c - 0.5) * 0.5, c)
                       for c in (x0, x1, y0, y1))
 
+    if small_window is not None:
+        span = jnp.maximum(x1 - x0, y1 - y0)   # post-demotion footprint
+        small = span <= small_window - 2.0
+        wy_eff = jnp.where(small, small_window, window)
+        wx_eff = jnp.where(small, small_window + X_ALIGN, xwin)
+    else:
+        small = jnp.zeros_like(levels)
+        wy_eff = wx_eff = None
+
     wy, oy = _axis_weights(y0, y1, heights_a[entry], hpad_a[entry],
-                           P=P, S=S, window=window)
+                           P=P, S=S, window=window, win_eff=wy_eff)
     wx, ox = _axis_weights(x0, x1, widths_a[entry],
                            jnp.full_like(levels, wpad), P=P, S=S,
-                           window=xwin, align=X_ALIGN)
+                           window=xwin, align=X_ALIGN, win_eff=wx_eff)
     v = valid.astype(jnp.float32)[:, None, None]
     origins = jnp.stack(
         [img_idx.astype(jnp.int32), yoff_a[entry] + oy, ox,
-         jnp.zeros_like(ox)], axis=1)
+         small.astype(jnp.int32)], axis=1)
     return origins, wy * v, wx * v
 
 
@@ -226,35 +247,78 @@ GROUP = 4   # RoIs per grid step (amortizes per-step pipeline overhead)
 
 def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
                        win_scratch, sems, *, window, xwin, P, S, C,
-                       n_buf=N_BUF):
+                       n_buf=N_BUF, small_window=None):
     i = pl.program_id(0)
     n = pl.num_programs(0)
+    two_tier = small_window is not None
+    sxwin = (small_window + X_ALIGN) if two_tier else None
 
-    def copy(step, g):
+    def copy(step, g, small):
         slot = jax.lax.rem(step, n_buf)
         roi = step * GROUP + g
         img = org_ref[roi, 0]
         ya = org_ref[roi, 1]
         xa = pl.multiple_of(org_ref[roi, 2], X_ALIGN)
+        if small:
+            # two-tier fast path: the RoI's sampling support fits in the
+            # small patch; rows/cols beyond it carry zero hat weights, so
+            # the stale scratch contents there never contribute (scratch
+            # is zero-initialized once at step 0 so they are finite).
+            return pltpu.make_async_copy(
+                feat_ref.at[img, pl.ds(ya, small_window),
+                            pl.ds(xa, sxwin), :],
+                win_scratch.at[slot, g, :small_window, :sxwin],
+                sems.at[slot, g])
         return pltpu.make_async_copy(
             feat_ref.at[img, pl.ds(ya, window), pl.ds(xa, xwin), :],
             win_scratch.at[slot, g], sems.at[slot, g])
 
+    def start(step, g):
+        if not two_tier:
+            copy(step, g, False).start()
+            return
+        sm = org_ref[step * GROUP + g, 3]
+
+        @pl.when(sm == 1)
+        def _():
+            copy(step, g, True).start()
+
+        @pl.when(sm == 0)
+        def _():
+            copy(step, g, False).start()
+
+    def wait(step, g):
+        if not two_tier:
+            copy(step, g, False).wait()
+            return
+        sm = org_ref[step * GROUP + g, 3]
+
+        @pl.when(sm == 1)
+        def _():
+            copy(step, g, True).wait()
+
+        @pl.when(sm == 0)
+        def _():
+            copy(step, g, False).wait()
+
     @pl.when(i == 0)
     def _():
+        if two_tier:
+            win_scratch[...] = jnp.zeros(win_scratch.shape,
+                                         win_scratch.dtype)
         for j in range(n_buf - 1):
             @pl.when(j < n)
             def _():
                 for g in range(GROUP):
-                    copy(j, g).start()
+                    start(j, g)
 
     @pl.when(i + n_buf - 1 < n)
     def _():
         for g in range(GROUP):
-            copy(i + n_buf - 1, g).start()
+            start(i + n_buf - 1, g)
 
     for g in range(GROUP):
-        copy(i, g).wait()
+        wait(i, g)
         win = win_scratch[jax.lax.rem(i, n_buf), g].astype(jnp.float32)
         # y interp+average: (P, window) @ (window, xwin*C)
         a = jnp.dot(wy_ref[g], win.reshape(window, xwin * C),
@@ -269,7 +333,7 @@ def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
 
 def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
                       strides, output_size=7, max_sr=2, window=32,
-                      interpret=None, trainable=False):
+                      interpret=None, trainable=False, small_window=16):
     """Pool N boxes into (N, P, P, C) with the window-DMA Pallas kernel.
 
     concat_pack: output of concat_feature_levels (with static geometry);
@@ -280,6 +344,13 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
     scatter-added into the feature plane); boxes must then already be
     stop-gradient (detectron2 semantics: proposals do not backprop into
     the RPN through the heads).
+
+    ``small_window`` enables two-tier DMA on the inference path: RoIs
+    whose level footprint fits in small_window - 2 (canonical FPN
+    assignment puts boxes under ~56 px image-size there — the vast
+    majority in dense SEM workloads) move a 3.3x smaller HBM patch with
+    identical results. Disabled when ``trainable`` (the backward scatter
+    uses full-window origins) or with small_window=None.
     """
     concat, y_offsets, heights, widths = concat_pack
     if interpret is None:
@@ -287,11 +358,13 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
     n = boxes.shape[0]
     P, S = output_size, max_sr
     xwin = window + X_ALIGN
+    if trainable or (small_window is not None and small_window >= window):
+        small_window = None
 
     origins, wy, wx = _prepare(
         boxes, img_idx, levels, valid, strides=strides, heights=heights,
         widths=widths, y_offsets=y_offsets, output_size=P, max_sr=S,
-        window=window)
+        window=window, small_window=small_window)
     if trainable:
         origins = jax.lax.stop_gradient(origins)
         wy = jax.lax.stop_gradient(wy)
@@ -309,12 +382,13 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
                                 str(concat.dtype))
     else:
         out = _pooled_call(origins, concat, wy, wx, P=P, S=S,
-                           window=window, xwin=xwin, interpret=interpret)
+                           window=window, xwin=xwin, interpret=interpret,
+                           small_window=small_window)
     return out[:n] if pad else out
 
 
 def _pooled_call(origins, concat, wy, wx, *, P, S, window, xwin,
-                 interpret):
+                 interpret, small_window=None):
     n_pad = origins.shape[0]
     C = concat.shape[3]
     # Scratch is n_buf*GROUP*window*xwin*C*itemsize (~10.5 MB for the
@@ -341,7 +415,7 @@ def _pooled_call(origins, concat, wy, wx, *, P, S, window, xwin,
         ],
     )
     kernel = partial(_roi_window_kernel, window=window, xwin=xwin, P=P, S=S,
-                     C=C, n_buf=n_buf)
+                     C=C, n_buf=n_buf, small_window=small_window)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

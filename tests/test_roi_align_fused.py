@@ -231,3 +231,39 @@ def test_small_canvas_levels_pad_to_window():
         pack, boxes, img_idx, levels, valid, strides=STRIDES,
         output_size=7, max_sr=2, window=32, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_two_tier_matches_single_tier():
+    """small_window fast path == full-window pooling, bit-for-bit.
+
+    Includes RoIs pressed against level edges (the origin clamp differs
+    between tiers) and RoIs exactly at the small/large threshold.
+    """
+    rs = np.random.RandomState(11)
+    b, c = 2, 64
+    feats = [jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+             for (h, w) in SHAPES]
+    # corner/edge boxes + threshold-straddling sizes (span 12..18 on p2)
+    edge = np.asarray([
+        [0.0, 0.0, 40.0, 40.0],          # top-left corner
+        [280.0, 168.0, 318.0, 206.0],    # bottom-right corner
+        [300.0, 4.0, 319.0, 60.0],       # right edge, tall
+        [2.0, 190.0, 70.0, 207.0],       # bottom edge, wide
+        [100.0, 100.0, 148.0, 148.0],    # span 12 on p2: small tier
+        [100.0, 100.0, 156.0, 156.0],    # span 14 on p2: boundary
+        [100.0, 100.0, 172.0, 172.0],    # span 18 on p2: large tier
+    ], np.float32)
+    boxes = jnp.asarray(np.concatenate([edge, _random_boxes(rs, 57)]))
+    n = boxes.shape[0]
+    img_idx = jnp.asarray(rs.randint(0, b, n), jnp.int32)
+    valid = jnp.asarray(rs.rand(n) > 0.1)
+    levels = assign_levels(boxes)
+    pack = concat_feature_levels(feats, window=32)
+
+    kw = dict(strides=STRIDES, output_size=7, max_sr=2, window=32,
+              interpret=True)
+    two = np.asarray(roi_align_windows(pack, boxes, img_idx, levels, valid,
+                                       small_window=16, **kw))
+    one = np.asarray(roi_align_windows(pack, boxes, img_idx, levels, valid,
+                                       small_window=None, **kw))
+    np.testing.assert_allclose(two, one, atol=1e-6)
