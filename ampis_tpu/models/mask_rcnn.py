@@ -84,6 +84,13 @@ class MaskRCNN(nn.Module):
     # Pallas interpret mode: "auto" = interpret off-TPU
     fused_interpret: Any = "auto"
     roi_window: int = 32
+    # Fused mask-head tail (ops.mask_tail). Default OFF: numerically
+    # exact and saves the (N, 28, 28, 256) HBM round trip, but measured
+    # end-to-end ~4% slower than XLA's deconv on v5e (95.4 -> 91.2 img/s
+    # at num_classes=1, where the 1x1 predictor matmul is a matrix-vector
+    # product the MXU runs at 1/128 lane utilization inside the kernel,
+    # while XLA folds it into the deconv epilogue).
+    fused_mask_tail: bool = False
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
@@ -231,7 +238,7 @@ class MaskRCNN(nn.Module):
                                      dets["valid"],
                                      self.mask_pooler_resolution)
         mask_logits = self.mask_head(
-            mask_pooled, fused_tail=use_fused,
+            mask_pooled, fused_tail=use_fused and self.fused_mask_tail,
             interpret=self._fused_interpret())             # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         cls = jnp.clip(dets["classes"].reshape(-1), 0, self.num_classes - 1)

@@ -84,21 +84,28 @@ class _ConvKernel(nn.Module):
 
 
 class StemConv7(nn.Module):
-    """7x7/s2/p3 + FrozenBN + relu, via the s2d rewrite on even inputs.
+    """7x7/s2/p3 + FrozenBN + relu, optionally via the s2d rewrite.
 
     Param tree matches Conv(kernel=7, ..., name='conv1') — conv/kernel in
     (7, 7, C, F) plus norm/{scale,bias} — so checkpoints and the d2-pkl
     converter are unaffected by the compute rewrite.
+
+    ``s2d`` default OFF: the rewrite is exact and the 4x4/s1 conv alone
+    profiles far better than the 7x7/s2 at C_in=3, but end-to-end on v5e
+    it measured ~1.5% slower (92.5 -> 91.2 img/s on the flagship bench) —
+    the s2d reshuffle of the full-resolution input is HBM-layout-hostile
+    and XLA cannot fuse it into the preceding normalize.
     """
     features: int
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         kernel = _ConvKernel((7, 7, c, self.features), name="conv")()
         xx = x.astype(self.dtype)
-        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             y = _s2d_stem_conv(xx, kernel)
         else:
             y = jax.lax.conv_general_dilated(
@@ -112,10 +119,12 @@ class StemConv7(nn.Module):
 class Stem(nn.Module):
     out_channels: int = 64
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = StemConv7(self.out_channels, dtype=self.dtype, name="conv1")(x)
+        x = StemConv7(self.out_channels, dtype=self.dtype, s2d=self.s2d,
+                      name="conv1")(x)
         return max_pool_3x3_s2(x)
 
 

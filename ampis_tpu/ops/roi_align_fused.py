@@ -333,7 +333,7 @@ def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
 
 def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
                       strides, output_size=7, max_sr=2, window=32,
-                      interpret=None, trainable=False, small_window=16):
+                      interpret=None, trainable=False, small_window=None):
     """Pool N boxes into (N, P, P, C) with the window-DMA Pallas kernel.
 
     concat_pack: output of concat_feature_levels (with static geometry);
@@ -345,12 +345,17 @@ def roi_align_windows(concat_pack, boxes, img_idx, levels, valid, *,
     stop-gradient (detectron2 semantics: proposals do not backprop into
     the RPN through the heads).
 
-    ``small_window`` enables two-tier DMA on the inference path: RoIs
-    whose level footprint fits in small_window - 2 (canonical FPN
-    assignment puts boxes under ~56 px image-size there — the vast
-    majority in dense SEM workloads) move a 3.3x smaller HBM patch with
-    identical results. Disabled when ``trainable`` (the backward scatter
-    uses full-window origins) or with small_window=None.
+    ``small_window`` enables two-tier DMA: RoIs whose level footprint
+    fits in small_window - 2 (canonical FPN assignment puts boxes under
+    ~56 px image-size there — the vast majority in dense SEM workloads)
+    move a 3.3x smaller HBM patch with identical results (exactness test:
+    tests/test_roi_align_fused.py::test_two_tier_matches_single_tier).
+    Default OFF: end-to-end on v5e the per-RoI conditional DMA measured
+    ~3% slower than always moving the full window (94.4 -> 91.2 img/s on
+    the flagship bench) — the pooling floor is DMA *issue* rate, not HBM
+    bandwidth, and the two predicated copies per RoI double the issue
+    cost. Ignored when ``trainable`` (the backward scatter uses
+    full-window origins).
     """
     concat, y_offsets, heights, widths = concat_pack
     if interpret is None:

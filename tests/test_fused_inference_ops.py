@@ -43,7 +43,7 @@ def test_stem_even_vs_odd_padding_consistency():
     """The s2d path (even dims) equals the plain path on the same params."""
     rs = np.random.RandomState(2)
     x = jnp.asarray(rs.randn(1, 64, 64, 3), jnp.float32)
-    stem = Stem(8)
+    stem = Stem(8, s2d=True)
     p = stem.init(jax.random.PRNGKey(0), x)
     out_s2d = stem.apply(p, x)
     # crop to odd size: forces plain conv; compare overlapping region by
