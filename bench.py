@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 V100_BASELINE_IMG_S = 23.3
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 
