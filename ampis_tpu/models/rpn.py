@@ -20,8 +20,35 @@ from ..ops import box_ops
 from ..ops.nms import NEG_INF, nms_mask
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv's {kernel, bias} without computing.
+
+    Keeps the param tree identical to an nn.Conv of the same name (the
+    Detectron2 weight converter and the model tests address
+    ``objectness_logits/kernel`` etc. by path) while letting the caller
+    fuse several sibling convs into one pass over the input tensor.
+    """
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class RPNHead(nn.Module):
-    """3x3 conv + two 1x1 sibling convs, shared across levels."""
+    """3x3 conv + two 1x1 sibling convs, shared across levels.
+
+    The objectness and delta 1x1 convs are computed as ONE fused conv
+    over concatenated output channels (A + A*4): both read the same
+    (B, H, W, 256) activation, and at P2 resolution that read is the
+    whole cost — merging halves the HBM traffic of the sibling pair.
+    Param tree and numerics are identical to two separate convs.
+    """
     num_anchors: int = 3
     channels: int = 256
     dtype: Any = jnp.float32
@@ -30,21 +57,27 @@ class RPNHead(nn.Module):
     def __call__(self, features: Sequence[jnp.ndarray]):
         conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                        dtype=self.dtype, param_dtype=jnp.float32, name="conv")
-        obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
-                      param_dtype=jnp.float32, name="objectness_logits")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
-                         param_dtype=jnp.float32, name="anchor_deltas")
+        a = self.num_anchors
+        obj_k, obj_b = _ConvParams(a, self.channels,
+                                   name="objectness_logits")()
+        del_k, del_b = _ConvParams(a * 4, self.channels,
+                                   name="anchor_deltas")()
+        w = jnp.concatenate([obj_k, del_k], -1).astype(self.dtype)
+        bias = jnp.concatenate([obj_b, del_b]).astype(self.dtype)
         logits_out, deltas_out = [], []
         for f in features:
             t = nn.relu(conv(f))
-            b, h, w, _ = t.shape
+            b, h, w_, _ = t.shape
+            y = jax.lax.conv_general_dilated(
+                t, w, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
             # NHWC conv output order (y, x, a) matches anchor grid order.
             # Deltas stay 4D (B, H, W, A*4): flattening them here would
             # relayout the whole tensor; proposal selection instead
             # gathers only the top-k rows post-top-k (see
             # select_proposals), and the training path reshapes lazily.
-            logits_out.append(obj(t).reshape(b, -1))
-            deltas_out.append(deltas(t))
+            logits_out.append(y[..., :a].reshape(b, -1))
+            deltas_out.append(y[..., a:])
         return logits_out, deltas_out
 
 
