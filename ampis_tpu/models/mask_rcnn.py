@@ -83,7 +83,12 @@ class MaskRCNN(nn.Module):
     fused_roi: Any = "auto"
     # Pallas interpret mode: "auto" = interpret off-TPU
     fused_interpret: Any = "auto"
-    roi_window: int = 32
+    # 24 measured fastest on v5e: vs 32 it moves 40% less HBM per RoI and
+    # 25% fewer DMA rows. Exact for footprints <= 22 px (canonical FPN
+    # assignment keeps box spans under ~20 except aspect > ~1.5 outliers);
+    # larger spans — including full-canvas boxes clipped to p5 (footprint
+    # 42 -> 21 after demotion) — pool from the 2x-avgpooled copy.
+    roi_window: int = 24
     # Fused mask-head tail (ops.mask_tail). Default OFF: numerically
     # exact and saves the (N, 28, 28, 256) HBM round trip, but measured
     # end-to-end ~4% slower than XLA's deconv on v5e (95.4 -> 91.2 img/s

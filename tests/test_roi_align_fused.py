@@ -45,7 +45,8 @@ def setup():
 
 
 @pytest.mark.parametrize("res", [7, 14])
-def test_matches_gather_path(setup, res):
+@pytest.mark.parametrize("window", [24, 32])
+def test_matches_gather_path(setup, res, window):
     b, feats, boxes, img_idx, valid = setup
     levels = assign_levels(boxes)
 
@@ -57,18 +58,18 @@ def test_matches_gather_path(setup, res):
         output_size=res, max_sr=2, sampling_ratio=0, chunk=64))
     ref = ref * np.asarray(valid)[:, None, None, None]
 
-    pack = concat_feature_levels(feats, window=32)
+    pack = concat_feature_levels(feats, window=window)
     out = np.asarray(roi_align_windows(
         pack, boxes, img_idx, levels, valid, strides=STRIDES,
-        output_size=res, max_sr=2, window=32, interpret=True))
+        output_size=res, max_sr=2, window=window, interpret=True))
 
-    # boxes whose level footprint fits the 32-px window must be exact
+    # boxes whose level footprint fits the window must be exact
     lv = np.asarray(levels)
     bx = np.asarray(boxes)
     span = np.maximum(bx[:, 2] - bx[:, 0], bx[:, 3] - bx[:, 1]) \
         / np.asarray(STRIDES)[lv]
-    fits = span < 29.5  # window - 2 = 30 is the demotion threshold
-    assert fits.sum() > 40
+    fits = span < window - 2.5  # window - 2 is the demotion threshold
+    assert fits.sum() > 35
     np.testing.assert_allclose(out[fits], ref[fits], atol=2e-5)
     # oversized footprints degrade gracefully (clamped, finite, masked)
     assert np.isfinite(out).all()
