@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops import box_ops
 from ..ops.mask_tail import mask_head_tail
+from ..ops.winograd import conv3x3_winograd
 from ..ops.nms import NEG_INF, batched_nms_mask
 from .rpn import optax_sigmoid_bce, subsample_labels
 
@@ -73,17 +74,28 @@ class MaskHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fused_tail=False, interpret=False):
+    def __call__(self, x, fused_tail=False, interpret=False,
+                 winograd=False):
         """``fused_tail`` runs the deconv+relu+predictor tail as one Pallas
         kernel (ops.mask_tail) that never materializes the (N, 2P, 2P, 256)
-        activation in HBM — inference hot path on TPU. Both paths share the
-        same parameters (deconv/{kernel,bias}, predictor/{kernel,bias})."""
+        activation in HBM — inference hot path on TPU. ``winograd`` runs
+        the four 3x3 convs with the F(2x2, 3x3) Pallas kernel
+        (ops.winograd): 2.25x fewer MXU multiplies than the direct conv,
+        which already runs at ~99% MXU utilization at this shape.
+        Inference-only (no VJP); both paths share the same parameters
+        (mask_fcn{i}/{kernel,bias})."""
         x = x.astype(self.dtype)
         for i in range(self.num_conv):
-            x = nn.relu(nn.Conv(self.conv_dim, (3, 3),
-                                padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                                param_dtype=jnp.float32,
-                                name=f"mask_fcn{i + 1}")(x))
+            kc, bc = _ConvParams((3, 3, x.shape[-1], self.conv_dim),
+                                 name=f"mask_fcn{i + 1}")()
+            if winograd:
+                x = conv3x3_winograd(x, kc, bc, relu=True, group=4,
+                                     interpret=interpret)
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x, kc.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = nn.relu(x + bc.astype(self.dtype))
         kd, bd = _ConvParams((2, 2, self.conv_dim, self.conv_dim),
                              name="deconv")()
         kp, bp = _ConvParams((1, 1, self.conv_dim, self.num_classes),

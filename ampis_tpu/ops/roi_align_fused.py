@@ -243,6 +243,8 @@ def _prepare(boxes, img_idx, levels, valid, *, strides, heights, widths,
 
 N_BUF = 4   # DMA pipeline depth: window groups prefetched N_BUF - 1 ahead
 GROUP = 4   # RoIs per grid step (amortizes per-step pipeline overhead)
+# (GROUP=8/N_BUF=3 measured identical end-to-end on v5e: 110.36 vs
+# 110.32 img/s — the issue floor is per-DMA, not per-grid-step.)
 
 
 def _roi_window_kernel(org_ref, feat_ref, wy_ref, wx_ref, out_ref,
