@@ -44,8 +44,33 @@ class _ConvParams(nn.Module):
         return k, b
 
 
+class _DenseParams(nn.Module):
+    """Bare kernel+bias params mirroring nn.Dense's names/inits/layout."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.out_dim), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                       jnp.float32)
+        return k, b
+
+
 class BoxHead(nn.Module):
-    """Flatten -> FC 1024 -> FC 1024 -> (cls score, box deltas)."""
+    """Flatten -> FC 1024 -> FC 1024 -> (cls score, box deltas).
+
+    fc1 is computed as a PxP VALID convolution over the pooled NHWC tile
+    instead of flatten+matmul: same arithmetic (the (P*P*C, fc_dim)
+    weight reshaped HWIO indexes (y, x, c) exactly like the row-major
+    flatten), but XLA's conv reads the pooled tensor's tiled layout
+    directly — the flatten forced a full (N, P, P, C) relayout copy
+    (~2.7 ms at batch 32) between the RoIAlign kernel and the matmul.
+    The parameter stays fc1/kernel (P*P*C, fc_dim) so checkpoints and
+    the d2 converter (engine/checkpoint.py fc1 flatten-order handling)
+    are unaffected.
+    """
     num_classes: int
     fc_dim: int = 1024
     dtype: Any = jnp.float32
@@ -53,10 +78,13 @@ class BoxHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (N, P, P, C)
-        n = x.shape[0]
-        x = x.reshape(n, -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="fc1")(x))
+        n, p, _, c = x.shape
+        k1, b1 = _DenseParams(p * p * c, self.fc_dim, name="fc1")()
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k1.reshape(p, p, c, self.fc_dim).astype(self.dtype),
+            (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = nn.relu(y.reshape(n, self.fc_dim) + b1.astype(self.dtype))
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
                              param_dtype=jnp.float32, name="fc2")(x))
         scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,

@@ -83,19 +83,29 @@ class RPNHead(nn.Module):
 
 def select_proposals(logits, deltas, anchors, image_size, *,
                      pre_nms_topk, post_nms_topk, nms_thresh,
-                     min_box_size=0.0):
+                     min_box_size=0.0, approx_topk=False):
     """Single-image proposal selection -> (boxes (K,4), scores (K,), valid).
 
     logits: list of (n_l,) objectness logits per level;
     deltas: list of (H_l, W_l, A*4) conv outputs (row-major (y, x, a)
     order matching the logits/anchors) OR pre-flattened (n_l, 4);
     anchors: list of (n_l, 4) arrays.
+
+    ``approx_topk`` selects the per-level pre-NMS candidates with
+    jax.lax.approx_max_k (recall 0.99) instead of an exact top-k: the
+    exact top-k lowers to full per-level sorts (~7.7 ms/batch-32 on v5e
+    for p2's 182k anchors). Only the pre-NMS *candidate pool* is
+    affected — missing ~1% of rank-~1000 objectness tails has no
+    measurable effect downstream (the post-NMS top-k stays exact).
     """
     boxes_all, scores_all = [], []
     for lg, dl, an in zip(logits, deltas, anchors):
         n_l = lg.shape[0]
         k = min(pre_nms_topk, n_l)
-        vals, idx = jax.lax.top_k(lg, k)
+        if approx_topk and k < n_l:
+            vals, idx = jax.lax.approx_max_k(lg, k, recall_target=0.99)
+        else:
+            vals, idx = jax.lax.top_k(lg, k)
         if dl.ndim == 3:
             # gather just the k selected rows from the 4D conv output
             # (flattening all H*W*A rows first would relayout the tensor)
