@@ -112,6 +112,12 @@ class MaskRCNN(nn.Module):
     # approx_max_k lowering costs more here than the exact per-level
     # sorts it replaces. See rpn.select_proposals.
     approx_topk: bool = False
+    # Dynamic symmetric int8 quantization for the mask-head convs +
+    # deconv at inference (ops.quant): the v5e MXU runs int8 at 2x the
+    # bf16 rate and the mask head is the largest MXU-bound stage
+    # (~82 ms/batch-32). ~0.5% logit error; AP impact measured on the
+    # trained powder model before enabling by default.
+    int8_mask_head: bool = False
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
@@ -268,7 +274,8 @@ class MaskRCNN(nn.Module):
         mask_logits = self.mask_head(
             mask_pooled, fused_tail=use_fused and self.fused_mask_tail,
             interpret=self._fused_interpret(),
-            winograd=self._use_winograd())                 # (B*D, 2P, 2P, C)
+            winograd=self._use_winograd(),
+            int8=bool(self.int8_mask_head))                # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         if self.num_classes == 1:
             # single-class: the per-RoI class gather is a squeeze (the
