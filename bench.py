@@ -48,8 +48,13 @@ def main():
     new_shape = get_resize_shape(raw_h, raw_w, 800, 1333)
     canvas = pad_to_canvas_shape(*new_shape)
 
+    # BENCH_INT8=0/1 overrides the int8 mask-head flag (see
+    # MaskRCNN.int8_mask_head); unset = the model default.
+    kw = {}
+    if "BENCH_INT8" in os.environ:
+        kw["int8_mask_head"] = bool(int(os.environ["BENCH_INT8"]))
     model = MaskRCNN(num_classes=1, detections_per_image=400,
-                     dtype=jnp.bfloat16)
+                     dtype=jnp.bfloat16, **kw)
     params = init_params(model, jax.random.PRNGKey(0))
 
     # Prefer trained weights (realistic score distributions and NMS
