@@ -252,6 +252,11 @@ def get_cfg() -> CfgNode:
     #                                  False: portable path everywhere;
     #                                  "force": pallas even off-TPU
     c.TPU.COMPUTE_DTYPE = "bfloat16"
+    # Dynamic int8 quantization of the mask-head convs + deconv at
+    # inference (ops.quant; the v5e MXU runs int8 at 2x the bf16 rate).
+    # Off by default: ~0.5% logit error — check mask AP on your dataset
+    # before enabling.
+    c.TPU.INT8_MASK_HEAD = False
     # per-instance GT mask crop canvas (T, T): ~60x less host->device
     # traffic than dense (G, H, W) mask stacks; instances larger than
     # T - 2 px are downscaled to fit (see ops.roi_align). 0 = dense path.

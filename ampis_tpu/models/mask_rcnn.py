@@ -471,6 +471,7 @@ def build_model(cfg) -> MaskRCNN:
         fused_roi=("auto" if cfg.TPU.USE_PALLAS is True
                    else True if cfg.TPU.USE_PALLAS == "force"
                    else False),
+        int8_mask_head=bool(getattr(cfg.TPU, "INT8_MASK_HEAD", False)),
     )
 
 

@@ -65,3 +65,13 @@ def test_mask_head_int8_end_to_end_close():
     spread = ref.std() + 1e-6
     assert np.abs(out - ref).max() < 0.2 * spread or \
         np.abs(out - ref).max() < 0.05
+
+
+def test_build_model_threads_int8_flag():
+    """cfg.TPU.INT8_MASK_HEAD reaches MaskRCNN.int8_mask_head."""
+    from ampis_tpu.engine.config import get_cfg
+    from ampis_tpu.models.mask_rcnn import build_model
+    cfg = get_cfg()
+    assert build_model(cfg).int8_mask_head is False
+    cfg.TPU.INT8_MASK_HEAD = True
+    assert build_model(cfg).int8_mask_head is True
