@@ -252,10 +252,13 @@ def get_cfg() -> CfgNode:
     #                                  False: portable path everywhere;
     #                                  "force": pallas even off-TPU
     c.TPU.COMPUTE_DTYPE = "bfloat16"
-    # Dynamic int8 quantization of the mask-head convs + deconv at
-    # inference (ops.quant; the v5e MXU runs int8 at 2x the bf16 rate).
+    # int8 quantization of the mask-head convs + deconv at inference
+    # (ops.quant; the v5e MXU runs int8 at 2x the bf16 rate). Modes:
+    # False | "static" (recommended: calibrated scales, the predictor
+    # auto-calibrates on its first batch) | True/"dynamic" (per-tensor
+    # amax scales — measured slower than bf16 end-to-end on v5e).
     # Off by default: ~0.5% logit error — check mask AP on your dataset
-    # before enabling.
+    # before enabling (see docs/performance.md for the powder numbers).
     c.TPU.INT8_MASK_HEAD = False
     # per-instance GT mask crop canvas (T, T): ~60x less host->device
     # traffic than dense (G, H, W) mask stacks; instances larger than

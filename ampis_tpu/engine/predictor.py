@@ -42,6 +42,14 @@ class DefaultPredictor:
         self.params = params
         self.input_format = cfg.INPUT.FORMAT
         self._compiled = {}
+        # cfg.TPU.INT8_MASK_HEAD == "static" auto-calibrates activation
+        # scales on the first batch (one extra compile) unless the
+        # checkpoint already carries a "quant" collection.
+        self._needs_calib = (
+            getattr(self.model, "int8_mask_head", False) == "static"
+            and "quant" not in self.params)
+        if self._needs_calib:
+            self._calib_model = self.model.clone(int8_mask_head="calib")
 
     # -- jitted core --------------------------------------------------------
 
@@ -58,6 +66,21 @@ class DefaultPredictor:
                          (images.shape[0], 1))
         return self.model.apply(self.params, batch, sizes,
                                 method=MaskRCNN.inference)
+
+    @partial(jax.jit, static_argnames=("self", "new_shape", "canvas"))
+    def _run_calib(self, images, new_shape, canvas):
+        """Float forward that records int8 activation scales ("quant")."""
+        mean = tuple(self.cfg.MODEL.PIXEL_MEAN)
+        std = tuple(self.cfg.MODEL.PIXEL_STD)
+        batch = jax.vmap(
+            lambda im: preprocess_image(im, new_shape, canvas, mean, std)
+        )(images)
+        sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                         (images.shape[0], 1))
+        _, mut = self._calib_model.apply(
+            self.params, batch, sizes, method=MaskRCNN.inference,
+            mutable=["quant"])
+        return mut["quant"]
 
     def __hash__(self):  # allow self as static arg
         return id(self)
@@ -80,6 +103,18 @@ class DefaultPredictor:
                                      self.cfg.INPUT.MAX_SIZE_TEST)
         canvas = pad_to_canvas_shape(*new_shape,
                                      fixed=self.cfg.INPUT.FIXED_SIZE)
+        if self._needs_calib:
+            quant = self._run_calib(jnp.asarray(raw), new_shape, canvas)
+            if not all(float(s) > 0 for s in jax.tree.leaves(quant)):
+                import warnings
+                warnings.warn(
+                    "int8 calibration batch produced no valid detections; "
+                    "activation scales are degenerate (masks will be "
+                    "garbage). Calibrate on images the model detects "
+                    "objects in, or use INT8_MASK_HEAD=False.",
+                    stacklevel=2)
+            self.params = {**self.params, "quant": quant}
+            self._needs_calib = False
         out = self._run(jnp.asarray(raw), new_shape, canvas)
         out = jax.tree.map(np.asarray, out)
 

@@ -112,12 +112,16 @@ class MaskRCNN(nn.Module):
     # approx_max_k lowering costs more here than the exact per-level
     # sorts it replaces. See rpn.select_proposals.
     approx_topk: bool = False
-    # Dynamic symmetric int8 quantization for the mask-head convs +
-    # deconv at inference (ops.quant): the v5e MXU runs int8 at 2x the
-    # bf16 rate and the mask head is the largest MXU-bound stage
-    # (~82 ms/batch-32). ~0.5% logit error; AP impact measured on the
-    # trained powder model before enabling by default.
-    int8_mask_head: bool = False
+    # Symmetric int8 quantization for the mask-head convs + deconv at
+    # inference (ops.quant): the v5e MXU runs int8 at 2x the bf16 rate
+    # and the mask head is the largest MXU-bound stage (~82 ms/batch-32).
+    # Modes: False (off) | True (dynamic per-tensor scales — measured
+    # SLOWER end-to-end on v5e, the amax passes cost more than the MXU
+    # saving) | "calib" (float forward recording activation scales into
+    # the "quant" variable collection; apply with mutable=["quant"]) |
+    # "static" (the fast path: calibrated scales, quantize fused into
+    # conv epilogues). See docs/performance.md for measurements.
+    int8_mask_head: Any = False
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
@@ -275,7 +279,7 @@ class MaskRCNN(nn.Module):
             mask_pooled, fused_tail=use_fused and self.fused_mask_tail,
             interpret=self._fused_interpret(),
             winograd=self._use_winograd(),
-            int8=bool(self.int8_mask_head))                # (B*D, 2P, 2P, C)
+            int8=self.int8_mask_head)                      # (B*D, 2P, 2P, C)
         mp = mask_logits.shape[1]
         if self.num_classes == 1:
             # single-class: the per-RoI class gather is a squeeze (the
@@ -471,7 +475,8 @@ def build_model(cfg) -> MaskRCNN:
         fused_roi=("auto" if cfg.TPU.USE_PALLAS is True
                    else True if cfg.TPU.USE_PALLAS == "force"
                    else False),
-        int8_mask_head=bool(getattr(cfg.TPU, "INT8_MASK_HEAD", False)),
+        # bool or "calib"/"static"/"dynamic" (see MaskRCNN.int8_mask_head)
+        int8_mask_head=getattr(cfg.TPU, "INT8_MASK_HEAD", False),
     )
 
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..ops import box_ops
 from ..ops.mask_tail import mask_head_tail
-from ..ops.quant import conv2d_int8, conv_transpose2x2_int8
+from ..ops.quant import (conv2d_int8, conv_transpose2x2_int8,
+                         deconv_predictor_int8)
 from ..ops.winograd import conv3x3_winograd
 from ..ops.nms import NEG_INF, batched_nms_mask
 from .rpn import optax_sigmoid_bce, subsample_labels
@@ -111,16 +112,42 @@ class MaskHead(nn.Module):
         the four 3x3 convs with the F(2x2, 3x3) Pallas kernel
         (ops.winograd): 2.25x fewer MXU multiplies than the direct conv,
         which already runs at ~99% MXU utilization at this shape.
-        ``int8`` runs the convs + deconv with dynamic symmetric int8
+        ``int8`` runs the convs + deconv with symmetric int8
         quantization (ops.quant): 2x MXU rate and half the activation
-        HBM traffic on v5e+, ~0.5% logit error. All paths share the same
-        parameters (mask_fcn{i}/{kernel,bias}); winograd/int8 are
-        inference-only (no VJP)."""
+        HBM traffic on v5e+, ~0.5% logit error. Modes: ``True`` =
+        dynamic per-tensor scales (an amax pass per layer — measured
+        slower end-to-end than bf16 on v5e, kept for reference);
+        ``"static"`` = scales read from the ``quant`` variable
+        collection, quantize/requantize fused into the conv epilogues
+        (the fast path); ``"calib"`` = float forward that records
+        running-max activation scales into ``quant`` (apply with
+        ``mutable=["quant"]``, then rebind for "static"). All paths
+        share the same parameters (mask_fcn{i}/{kernel,bias});
+        winograd/int8 are inference-only (no VJP)."""
+        if int8 == "dynamic":
+            int8 = True
+        calib, static = int8 == "calib", int8 == "static"
+        if calib or static:
+            assert not fused_tail, "int8 static excludes fused_tail"
+            # one activation scale per conv input + the deconv input,
+            # populated by a "calib" pass (like BatchNorm statistics)
+            svars = [self.variable("quant", f"act_scale{i}",
+                                   lambda: jnp.zeros((), jnp.float32))
+                     for i in range(self.num_conv + 1)]
+            # floor guards an un-calibrated (all-zero) collection
+            scales = [jnp.maximum(v.value, 1e-8) for v in svars]
         x = x.astype(self.dtype)
         for i in range(self.num_conv):
             kc, bc = _ConvParams((3, 3, x.shape[-1], self.conv_dim),
                                  name=f"mask_fcn{i + 1}")()
-            if int8:
+            if calib:
+                svars[i].value = jnp.maximum(
+                    svars[i].value,
+                    jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+            if static:
+                x = conv2d_int8(x, kc, bc, relu=True, sx=scales[i],
+                                out_scale=scales[i + 1])
+            elif int8 is True:
                 x = conv2d_int8(x, kc, bc, relu=True)
             elif winograd:
                 x = conv3x3_winograd(x, kc, bc, relu=True, group=4,
@@ -136,7 +163,16 @@ class MaskHead(nn.Module):
                              name="predictor")()
         if fused_tail:
             return mask_head_tail(x, kd, bd, kp, bp, interpret=interpret)
-        if int8:
+        if calib:
+            svars[-1].value = jnp.maximum(
+                svars[-1].value,
+                jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0)
+        if static:
+            # deconv + relu + predictor in one pass, predictor folded
+            # into each int8 phase (ops.quant.deconv_predictor_int8)
+            return deconv_predictor_int8(x, kd, bd, kp, bp,
+                                         sx=scales[-1])
+        if int8 is True:
             y = conv_transpose2x2_int8(x, kd, bd, relu=True)
         else:
             y = jax.lax.conv_transpose(

@@ -22,8 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 V100_BASELINE_IMG_S = 23.3
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-ITERS = int(os.environ.get("BENCH_ITERS", "8"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+# 24 iters: 8 measured within ~2-3% run-to-run noise through the axon
+# tunnel; 24 brings repeat runs within ~1%
+ITERS = int(os.environ.get("BENCH_ITERS", "24"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "4"))
 
 
 def main():
@@ -48,11 +50,14 @@ def main():
     new_shape = get_resize_shape(raw_h, raw_w, 800, 1333)
     canvas = pad_to_canvas_shape(*new_shape)
 
-    # BENCH_INT8=0/1 overrides the int8 mask-head flag (see
-    # MaskRCNN.int8_mask_head); unset = the model default.
+    # BENCH_INT8 overrides the int8 mask-head mode (see
+    # MaskRCNN.int8_mask_head): 0/1 = off/dynamic, "static" = calibrated
+    # static scales (calibration pass runs below); unset = model default.
     kw = {}
-    if "BENCH_INT8" in os.environ:
-        kw["int8_mask_head"] = bool(int(os.environ["BENCH_INT8"]))
+    int8_env = os.environ.get("BENCH_INT8")
+    if int8_env is not None:
+        kw["int8_mask_head"] = ("static" if int8_env == "static"
+                                else bool(int(int8_env)))
     model = MaskRCNN(num_classes=1, detections_per_image=400,
                      dtype=jnp.bfloat16, **kw)
     params = init_params(model, jax.random.PRNGKey(0))
@@ -112,6 +117,49 @@ def main():
         return _np.asarray(o["scores"]).sum()
 
     images_dev = jax.device_put(jnp.asarray(raw))
+
+    if kw.get("int8_mask_head") == "static":
+        # Static int8 needs calibrated activation scales. They are
+        # deterministic given (weights, bench images), so cache them in
+        # bench_quant_scales.json to spare the driver the extra
+        # calibration-pass compile; delete the file to recalibrate.
+        import flax
+        cache_path = Path(__file__).parent / "bench_quant_scales.json"
+        key = str(ckpt or "random-init")
+        cached = {}
+        if cache_path.exists():
+            cached = json.loads(cache_path.read_text())
+        if key in cached:
+            flat = {tuple(k.split("/")): jnp.asarray(v, jnp.float32)
+                    for k, v in cached[key].items()}
+            quant = flax.traverse_util.unflatten_dict(flat)
+            print(f"# int8 scales: cached ({key})", file=sys.stderr)
+        else:
+            calib_model = MaskRCNN(num_classes=1, detections_per_image=400,
+                                   dtype=jnp.bfloat16,
+                                   int8_mask_head="calib")
+
+            @jax.jit
+            def calib(params, images):
+                batch = jax.vmap(
+                    lambda im: preprocess_image(im, new_shape, canvas,
+                                                mean, std))(images)
+                sizes = jnp.tile(jnp.asarray([new_shape], jnp.float32),
+                                 (images.shape[0], 1))
+                return calib_model.apply(
+                    params, batch, sizes, method=MaskRCNN.inference,
+                    mutable=["quant"])
+
+            t0 = time.time()
+            _, mut = calib(params, images_dev)
+            quant = jax.device_get(mut["quant"])
+            print(f"# int8 calibration: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            flat = flax.traverse_util.flatten_dict(quant)
+            cached[key] = {"/".join(k): float(v) for k, v in flat.items()}
+            cache_path.write_text(json.dumps(cached, indent=1))
+        params = {**params, "quant": quant}
+
     # compile + warmup
     t0 = time.time()
     out = run(params, images_dev)

@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--freeze-at", type=int, default=None,
                     help="backbone freeze stage; defaults to 0 when "
                          "training from scratch, 2 with pretrained weights")
+    ap.add_argument("--int8", default="off",
+                    choices=("off", "static", "dynamic"),
+                    help="int8 mask-head mode at inference "
+                         "(cfg.TPU.INT8_MASK_HEAD; 'static' auto-"
+                         "calibrates on the first predicted batch)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -82,6 +87,8 @@ def main():
         cfg = get_cfg()
         cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
         cfg.TEST.DETECTIONS_PER_IMAGE = 400
+        if args.int8 != "off":
+            cfg.TPU.INT8_MASK_HEAD = args.int8
         cfg.DATASETS.TRAIN = (names[("particle", "training")],)
         cfg.DATASETS.TEST = (names[("particle", "validation")],)
         if args.weights:

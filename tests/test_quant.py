@@ -1,10 +1,10 @@
-"""Dynamic int8 conv/deconv vs the float reference ops.
+"""int8 conv/deconv (dynamic + static/calibrated) vs the float ops.
 
 Quantization error bound: symmetric per-channel int8 keeps relative
 error ~0.5-1% for well-conditioned activations; the tests use realistic
 magnitude distributions and assert against that budget (the model-level
-question — mask AP impact — is measured on the trained powder model, see
-docs/performance.md).
+question — mask AP impact — is measured on a trained powder model, see
+docs/parity.md).
 """
 import jax
 import jax.numpy as jnp
@@ -75,3 +75,48 @@ def test_build_model_threads_int8_flag():
     assert build_model(cfg).int8_mask_head is False
     cfg.TPU.INT8_MASK_HEAD = True
     assert build_model(cfg).int8_mask_head is True
+    cfg.TPU.INT8_MASK_HEAD = "static"
+    assert build_model(cfg).int8_mask_head == "static"
+
+
+def test_mask_head_calib_then_static_close():
+    """calib pass records scales; static pass matches float closely.
+
+    The static path (calibrated scales, quantize fused into epilogues)
+    is the production int8 mode — dynamic per-tensor amax measured
+    slower than bf16 end-to-end on v5e (docs/performance.md).
+    """
+    from ampis_tpu.models.roi_heads import MaskHead
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(np.abs(rs.randn(8, 14, 14, 256)).astype(np.float32))
+    head = MaskHead(num_classes=1, dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(head.apply(params, x))
+
+    out_f, mut = head.apply(params, x, int8="calib", mutable=["quant"])
+    # calib mode itself is the float path
+    np.testing.assert_allclose(np.asarray(out_f), ref, rtol=1e-5, atol=1e-5)
+    scales = jax.tree.leaves(mut["quant"])
+    assert len(scales) == 5 and all(float(s) > 0 for s in scales)
+
+    out_q = np.asarray(head.apply(
+        {**params, "quant": mut["quant"]}, x, int8="static"))
+    spread = ref.std() + 1e-6
+    assert np.abs(out_q - ref).max() < 0.2 * spread or \
+        np.abs(out_q - ref).max() < 0.05
+
+
+def test_calib_running_max_accumulates():
+    """Second calib batch with larger activations raises the scales."""
+    from ampis_tpu.models.roi_heads import MaskHead
+    rs = np.random.RandomState(5)
+    x1 = jnp.asarray(np.abs(rs.randn(2, 14, 14, 256)).astype(np.float32))
+    head = MaskHead(num_classes=1, dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x1)
+    _, m1 = head.apply(params, x1, int8="calib", mutable=["quant"])
+    _, m2 = head.apply({**params, "quant": m1["quant"]}, x1 * 10.0,
+                       int8="calib", mutable=["quant"])
+    s1 = jax.tree.leaves(m1["quant"])
+    s2 = jax.tree.leaves(m2["quant"])
+    assert all(float(b) >= float(a) for a, b in zip(s1, s2))
+    assert float(s2[0]) > 5 * float(s1[0])

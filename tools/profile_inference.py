@@ -43,9 +43,24 @@ def main():
     raw_h, raw_w = 1024, 1536
     new_shape = get_resize_shape(raw_h, raw_w, 800, 1333)
     canvas = pad_to_canvas_shape(*new_shape)
+    # BENCH_INT8=static profiles the int8 mask head using the scales
+    # bench.py cached in bench_quant_scales.json (run bench first)
+    kw = {}
+    int8_env = os.environ.get("BENCH_INT8")
+    if int8_env is not None:
+        kw["int8_mask_head"] = ("static" if int8_env == "static"
+                                else bool(int(int8_env)))
     model = MaskRCNN(num_classes=1, detections_per_image=400,
-                     dtype=jnp.bfloat16)
+                     dtype=jnp.bfloat16, **kw)
     params = init_params(model, jax.random.PRNGKey(0))
+    if kw.get("int8_mask_head") == "static":
+        import flax
+        cache = json.loads((Path(__file__).parents[1] /
+                            "bench_quant_scales.json").read_text())
+        flat = {tuple(k.split("/")): jnp.asarray(v, jnp.float32)
+                for k, v in cache["random-init"].items()}
+        params = {**params,
+                  "quant": flax.traverse_util.unflatten_dict(flat)}
     rs = np.random.RandomState(0)
     raw = rs.randint(0, 255, (args.batch, raw_h, raw_w, 3), np.uint8)
     mean, std = (103.53, 116.28, 123.675), (1.0, 1.0, 1.0)
