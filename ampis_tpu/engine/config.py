@@ -264,6 +264,12 @@ def get_cfg() -> CfgNode:
     # traffic than dense (G, H, W) mask stacks; instances larger than
     # T - 2 px are downscaled to fit (see ops.roi_align). 0 = dense path.
     c.TPU.MASK_CANVAS = 128
+    # device-resident training-data cache cap (engine.device_cache):
+    # each (image, scale-jitter size, flip) variant is uploaded once and
+    # batches assemble on-device — zero steady-state host->device data
+    # traffic (and a workaround for remote-transport clients that leak
+    # the transferred bytes per upload). 0 disables (stream every batch).
+    c.TPU.DEVICE_DATA_CACHE_MB = 2048
 
     return c
 

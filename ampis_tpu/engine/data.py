@@ -139,13 +139,12 @@ class DetectionLoader:
             crop = RLE.decode(merged)
         return crop, (iy0, ix0)
 
-    def _load_one(self, ddict, min_size):
+    def _load_one(self, ddict, min_size, flip=False):
         img = imread_bgr(ddict["file_name"])
         h0, w0 = img.shape[:2]
         new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
         sy = new_shape[0] / h0
         sx = new_shape[1] / w0
-        flip = self.flip and self.rng.rand() < 0.5
 
         annos = ddict.get("annotations", [])
         g = self.max_gt
@@ -191,12 +190,34 @@ class DetectionLoader:
 
         return img, new_shape, boxes, classes, valid, masks, mask_meta
 
-    def _make_batch(self, indices, min_size):
+    def sample(self, idx, min_size, flip=False):
+        """Materialize one sample: ({name: array}, new_shape).
+
+        Pure function of (idx, min_size, flip) — the addressable unit the
+        device-resident cache (engine.device_cache.DeviceBatcher) keys on.
+        """
+        img, ns, b, c, v, m, mm = self._load_one(self.ddicts[idx],
+                                                 min_size, flip=flip)
+        arrays = {"images": img, "gt_boxes": b, "gt_classes": c,
+                  "gt_valid": v, "gt_masks": m}
+        if mm is not None:
+            arrays["gt_mask_meta"] = mm
+        return arrays, ns
+
+    def draw_flips(self, n):
+        """n per-sample flip decisions from the loader's RNG stream."""
+        if not self.flip:
+            return [False] * n
+        return [bool(f) for f in self.rng.rand(n) < 0.5]
+
+    def _make_batch(self, indices, min_size, flips=None):
         imgs, boxes, classes, valids, masks, metas = [], [], [], [], [], []
         new_shape = None
-        for idx in indices:
+        if flips is None:
+            flips = self.draw_flips(len(indices))
+        for idx, flip in zip(indices, flips):
             img, ns, b, c, v, m, mm = self._load_one(self.ddicts[idx],
-                                                     min_size)
+                                                     min_size, flip=flip)
             new_shape = ns
             imgs.append(img)
             boxes.append(b)
@@ -228,14 +249,25 @@ class DetectionLoader:
                     [idx, order[:bs - len(idx)]])  # wrap to keep shape
             yield self._make_batch(idx, self.min_sizes[0])
 
-    def _epochs(self):
+    def plan_epochs(self):
+        """Infinite (indices, min_size, flips) batch plans.
+
+        The augmentation schedule (shuffled epochs, per-batch scale
+        jitter, per-sample flips) separated from materialization so the
+        streaming path (_epochs) and the device-resident cache
+        (engine.device_cache.DeviceBatcher) sample identically.
+        """
         while True:
             order = self.rng.permutation(len(self.ddicts))
             bs = self.batch_size
             for i in range(0, len(order) - bs + 1, bs):
                 min_size = self.min_sizes[
                     self.rng.randint(len(self.min_sizes))]
-                yield self._make_batch(order[i:i + bs], min_size)
+                yield (order[i:i + bs], min_size, self.draw_flips(bs))
+
+    def _epochs(self):
+        for indices, min_size, flips in self.plan_epochs():
+            yield self._make_batch(indices, min_size, flips)
 
     def infinite(self, prefetch: int = 2):
         """Training stream: shuffled epochs, per-batch scale jitter.

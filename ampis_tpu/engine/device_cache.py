@@ -1,0 +1,97 @@
+"""Device-resident training-data cache: upload each sample once.
+
+The streaming loader (engine.data.DetectionLoader) re-transfers every
+batch host->device each step. For the few-shot datasets this framework
+targets (the reference trains on <= 10 images, GETTING_STARTED.md:13),
+the set of distinct augmented samples is tiny and static: one variant
+per (image, scale-jitter min_size, flip) — 4 x 6 x 2 = 48 for the powder
+particle recipe, ~320 MB in HBM. DeviceBatcher materializes each variant
+the first time its key is drawn, keeps it on device, and assembles
+batches with an on-device stack — after warm-up the train loop issues
+zero host->device data transfers per step.
+
+Why this is the default:
+
+* latency: the per-step transfer (~10-20 MB through PCIe or the remote
+  tunnel) leaves the host pipeline on the critical path; on-device
+  assembly is a single fused stack dispatch;
+* memory: some remote-device transports (the axon PJRT tunnel this repo
+  is benched through) leak the transferred bytes client-side on every
+  host->device upload (~24 MB/iter for the powder recipe — measured; a
+  6000-iter run OOMs a 128 GB host). Bounding uploads to one per
+  distinct sample makes host memory flat.
+
+Bounded by cfg.TPU.DEVICE_DATA_CACHE_MB: once the cap is reached, new
+variants stream per-step (with a one-time warning) instead of evicting —
+re-uploading evicted entries would defeat both points above.
+
+Data parallelism: with a mesh, samples are cached replicated-on-host?
+No — the trainer only routes through DeviceBatcher for single-device
+runs; sharded batches go through parallel.mesh.shard_batch (the mesh
+path needs per-device placement that jnp.stack of cached samples does
+not express).
+"""
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceBatcher:
+    """Wraps a DetectionLoader; yields batches of device-resident arrays.
+
+    Batches are identical (same plan RNG, same pixel content) to the
+    loader's streaming ``infinite()`` output — only the residency and
+    transfer pattern change.
+    """
+
+    def __init__(self, loader, max_bytes: int = 2 << 30):
+        self.loader = loader
+        self.max_bytes = max_bytes
+        self._cache = {}   # (idx, min_size, flip) -> ({k: jax.Array}, ns)
+        self._bytes = 0
+        self._warned = False
+        self._stack = jax.jit(
+            lambda entries: jax.tree.map(lambda *xs: jnp.stack(xs),
+                                         *entries))
+
+    @property
+    def n_cached(self):
+        return len(self._cache)
+
+    @property
+    def cached_bytes(self):
+        return self._bytes
+
+    def _get(self, idx, min_size, flip):
+        key = (int(idx), int(min_size), bool(flip))
+        entry = self._cache.get(key)
+        if entry is not None:
+            return entry
+        arrays, new_shape = self.loader.sample(*key)
+        nbytes = sum(a.nbytes for a in arrays.values())
+        entry = ({k: jax.device_put(v) for k, v in arrays.items()},
+                 new_shape)
+        if self._bytes + nbytes <= self.max_bytes:
+            self._cache[key] = entry
+            self._bytes += nbytes
+        elif not self._warned:
+            self._warned = True
+            warnings.warn(
+                f"device data cache full ({self._bytes >> 20} MB cached, "
+                f"cap {self.max_bytes >> 20} MB; cfg.TPU."
+                f"DEVICE_DATA_CACHE_MB): further distinct samples stream "
+                f"host->device every step", stacklevel=2)
+        return entry
+
+    def infinite(self):
+        """Training stream mirroring DetectionLoader.infinite()."""
+        for indices, min_size, flips in self.loader.plan_epochs():
+            entries = [self._get(i, min_size, f)
+                       for i, f in zip(indices, flips)]
+            batch = dict(self._stack([e[0] for e in entries]))
+            batch["new_shape"] = entries[-1][1]
+            batch["canvas"] = self.loader.canvas
+            yield batch

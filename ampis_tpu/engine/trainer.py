@@ -98,6 +98,14 @@ class Trainer:
         self.max_iter = cfg.SOLVER.MAX_ITER
         self.iter = 0
         self.storage = EventStorage(cfg.OUTPUT_DIR)
+        # persist the exact training config next to the checkpoints
+        # (detectron2 writes config.yaml the same way): predictors built
+        # later from a checkpoint can recover run-specific keys such as
+        # PIXEL_MEAN/PIXEL_STD (see examples/powder_workflow.py).
+        if cfg.OUTPUT_DIR:
+            out = Path(cfg.OUTPUT_DIR)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / "config.json").write_text(cfg.dump())
         self._hooks = []
         self._rng = jax.random.PRNGKey(max(cfg.SEED, 0))
 
@@ -145,6 +153,17 @@ class Trainer:
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
+
+        # device-resident sample cache (engine.device_cache): upload each
+        # (image, scale, flip) variant once, assemble batches on-device —
+        # zero steady-state host->device data transfer. Single-device
+        # only; the mesh path shards batches host-side.
+        cache_mb = int(getattr(cfg.TPU, "DEVICE_DATA_CACHE_MB", 0) or 0)
+        self.device_batcher = None
+        if cache_mb > 0 and self.mesh is None and self.train_loader:
+            from .device_cache import DeviceBatcher
+            self.device_batcher = DeviceBatcher(self.train_loader,
+                                                cache_mb << 20)
 
         self._build_step_fns()
 
@@ -265,7 +284,8 @@ class Trainer:
     def train(self, start_iter=None, max_iter=None):
         start = self.iter if start_iter is None else start_iter
         end = self.max_iter if max_iter is None else max_iter
-        it = self.train_loader.infinite()
+        it = (self.device_batcher.infinite() if self.device_batcher
+              else self.train_loader.infinite())
         t_last = time.time()
         schedule_host = build_lr_schedule(self.cfg, host=True)
         self._pending = []

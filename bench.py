@@ -99,6 +99,15 @@ def main():
 
     mean = (103.53, 116.28, 123.675)
     std = (1.0, 1.0, 1.0)
+    if ckpt:
+        # run-specific input statistics persisted by the trainer (e.g.
+        # examples/powder_workflow.py --standardize)
+        ckpt_cfg = Path(ckpt).parent / "config.json"
+        if ckpt_cfg.is_file():
+            saved = json.loads(ckpt_cfg.read_text())
+            mean = tuple(saved["MODEL"]["PIXEL_MEAN"])
+            std = tuple(saved["MODEL"]["PIXEL_STD"])
+            print(f"# input stats from {ckpt_cfg}", file=sys.stderr)
 
     @jax.jit
     def run(params, images):

@@ -66,6 +66,17 @@ def main():
                     help="int8 mask-head mode at inference "
                          "(cfg.TPU.INT8_MASK_HEAD; 'static' auto-"
                          "calibrates on the first predicted batch)")
+    ap.add_argument("--standardize", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="set PIXEL_MEAN/PIXEL_STD to the training set's "
+                         "pixel statistics. 'auto' = on when training from "
+                         "scratch: with FrozenBN (identity at random init) "
+                         "and caffe-style PIXEL_STD=1, activations carry "
+                         "the raw input scale through the backbone and "
+                         "init losses are ~100x too large (the reference "
+                         "recipe never hits this: it always starts from "
+                         "COCO weights whose BN statistics normalize each "
+                         "stage)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -93,6 +104,28 @@ def main():
         cfg.DATASETS.TEST = (names[("particle", "validation")],)
         if args.weights:
             cfg.MODEL.WEIGHTS = args.weights
+            # recover run-specific input statistics from the config the
+            # trainer persisted next to the checkpoint
+            ckpt_cfg = Path(args.weights).parent / "config.json"
+            if ckpt_cfg.is_file():
+                import json
+                saved = json.loads(ckpt_cfg.read_text())
+                cfg.MODEL.PIXEL_MEAN = saved["MODEL"]["PIXEL_MEAN"]
+                cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
+                print(f"input stats from {ckpt_cfg}: "
+                      f"mean={cfg.MODEL.PIXEL_MEAN} "
+                      f"std={cfg.MODEL.PIXEL_STD}")
+        if args.train and (args.standardize == "on" or (
+                args.standardize == "auto" and not args.weights)):
+            from ampis_tpu.utils.io import imread_bgr
+            px = np.concatenate([
+                imread_bgr(d["file_name"]).reshape(-1, 3).astype(np.float32)
+                for d in DatasetCatalog.get(cfg.DATASETS.TRAIN[0])])
+            mean, std = px.mean(axis=0), px.std(axis=0) + 1e-6
+            cfg.MODEL.PIXEL_MEAN = [round(float(v), 3) for v in mean]
+            cfg.MODEL.PIXEL_STD = [round(float(v), 3) for v in std]
+            print(f"standardized input: mean={cfg.MODEL.PIXEL_MEAN} "
+                  f"std={cfg.MODEL.PIXEL_STD}")
         if args.train:
             cfg.SOLVER.IMS_PER_BATCH = args.batch
             cfg.SOLVER.MAX_ITER = args.max_iter

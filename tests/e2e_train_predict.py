@@ -80,12 +80,24 @@ def main():
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 100
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # From-scratch conditioning: with FrozenBN (identity at random init)
+    # and caffe-style PIXEL_STD=1, activations carry the raw ~100-scale
+    # input variance through the whole backbone — init losses land at
+    # ~120 and lr 5e-3 diverges to NaN within 4 iters. Standardizing the
+    # input restores textbook init losses (~0.7-0.9 per component). The
+    # reference never hits this because its recipe always starts from
+    # COCO weights whose BN statistics normalize each stage.
+    cfg.MODEL.PIXEL_STD = [60.0, 60.0, 60.0]
     cfg.OUTPUT_DIR = tmp + "/out"
 
     from ampis_tpu.data_utils import AmpisTrainer, format_outputs
     trainer = AmpisTrainer(cfg)
     trainer.resume_or_load(resume=False)
     trainer.train()
+
+    # the device-resident sample cache is the default single-device path
+    assert trainer.device_batcher is not None
+    assert 0 < trainer.device_batcher.n_cached <= 4 * 1 * 2  # img x ms x flip
 
     latest = trainer.storage.latest()
     assert "validation_loss" in latest, "LossEvalHook must fire at final iter"

@@ -1,0 +1,113 @@
+"""DeviceBatcher (engine.device_cache) vs the streaming loader.
+
+The device-resident cache must yield batches identical to
+DetectionLoader.infinite() — same plan RNG, same pixel content — while
+uploading each (image, min_size, flip) variant host->device exactly once
+and assembling batches on-device.
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+from ampis_tpu import rle as RLE
+from ampis_tpu.engine.config import get_cfg
+from ampis_tpu.engine.data import DetectionLoader
+from ampis_tpu.engine.device_cache import DeviceBatcher
+from ampis_tpu.structures import BoxMode
+
+
+@pytest.fixture(scope="module")
+def ddicts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("devcache")
+    rs = np.random.RandomState(3)
+    out = []
+    for i in range(3):
+        img = (rs.rand(60, 80) * 255).astype(np.uint8)
+        p = str(tmp / f"im{i}.png")
+        Image.fromarray(img).save(p)
+        annos = []
+        for _ in range(2):
+            r0, c0 = rs.randint(2, 30), rs.randint(2, 40)
+            m = np.zeros((60, 80), np.uint8, order="F")
+            m[r0:r0 + 20, c0:c0 + 25] = 1
+            annos.append({"bbox": np.array([c0, r0, c0 + 25, r0 + 20],
+                                           np.float64),
+                          "bbox_mode": BoxMode.XYXY_ABS,
+                          "segmentation": RLE.encode(np.asfortranarray(m)),
+                          "category_id": 0})
+        out.append({"file_name": p, "height": 60, "width": 80,
+                    "mask_format": "bitmask", "image_id": i,
+                    "annotations": annos, "num_instances": 2})
+    return out
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (48, 60)
+    cfg.INPUT.MAX_SIZE_TRAIN = 80
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TPU.MASK_CANVAS = 32
+    return cfg
+
+
+ARRAY_KEYS = ("images", "gt_boxes", "gt_classes", "gt_valid", "gt_masks",
+              "gt_mask_meta")
+
+
+def test_batches_identical_to_streaming(ddicts):
+    cfg = _cfg()
+    stream = DetectionLoader(ddicts, cfg, train=True, seed=7)
+    cached = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True, seed=7))
+    it_s, it_c = stream.infinite(prefetch=0), cached.infinite()
+    for _ in range(6):
+        bs, bc = next(it_s), next(it_c)
+        assert tuple(bs["new_shape"]) == tuple(bc["new_shape"])
+        assert tuple(bs["canvas"]) == tuple(bc["canvas"])
+        for k in ARRAY_KEYS:
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+
+
+def test_uploads_bounded_by_variant_count(ddicts):
+    cfg = _cfg()
+    loader = DetectionLoader(ddicts, cfg, train=True, seed=0)
+    batcher = DeviceBatcher(loader)
+    it = batcher.infinite()
+    for _ in range(30):
+        next(it)
+    # 3 images x 2 min_sizes x 2 flips
+    assert batcher.n_cached <= 12
+    assert batcher.cached_bytes > 0
+    # cached entries are reused, not re-uploaded: pulling more batches
+    # cannot grow the cache beyond the variant space
+    n = batcher.n_cached
+    for _ in range(30):
+        next(it)
+    assert batcher.n_cached <= 12 and batcher.n_cached >= n
+
+
+def test_cap_streams_with_one_warning(ddicts):
+    cfg = _cfg()
+    stream = DetectionLoader(ddicts, cfg, train=True, seed=5)
+    batcher = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True, seed=5),
+                            max_bytes=1)
+    it_s, it_c = stream.infinite(prefetch=0), batcher.infinite()
+    with pytest.warns(UserWarning, match="device data cache full"):
+        bs, bc = next(it_s), next(it_c)
+    for k in ARRAY_KEYS:
+        np.testing.assert_array_equal(np.asarray(bs[k]), np.asarray(bc[k]))
+    assert batcher.n_cached == 0
+    # warning fires once; batches keep flowing
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        next(it_c)
+
+
+def test_validation_single_pass_unchanged(ddicts):
+    """__iter__ (validation path) is untouched by the refactor."""
+    cfg = _cfg()
+    loader = DetectionLoader(ddicts, cfg, train=False, batch_size=2)
+    batches = list(loader)
+    assert len(batches) == 2  # 3 images wrap to 2 batches of 2
+    assert batches[0]["images"].shape[0] == 2
