@@ -77,6 +77,14 @@ def main():
                          "recipe never hits this: it always starts from "
                          "COCO weights whose BN statistics normalize each "
                          "stage)")
+    ap.add_argument("--satellite-weights", default=None,
+                    help="orbax checkpoint dir or detectron2 .pkl for the "
+                         "satellite model; enables own-model satellite "
+                         "predictions (default: shipped sample pickles)")
+    ap.add_argument("--train-satellites", action="store_true",
+                    help="also fine-tune a satellite model (same solver "
+                         "flags, DETECTIONS_PER_IMAGE=150) and use it for "
+                         "the satellite side of the pipeline")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -94,19 +102,21 @@ def main():
     print(f"wrote GT overlay to {outdir}")
 
     # --- 2. predictions ---
-    if args.weights or args.train:
+    def run_model(thing, weights, do_train, detections, train_dir):
+        """Train (optional) + predict one model; returns format_outputs
+        dicts over the thing's validation split."""
         cfg = get_cfg()
         cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
-        cfg.TEST.DETECTIONS_PER_IMAGE = 400
+        cfg.TEST.DETECTIONS_PER_IMAGE = detections
         if args.int8 != "off":
             cfg.TPU.INT8_MASK_HEAD = args.int8
-        cfg.DATASETS.TRAIN = (names[("particle", "training")],)
-        cfg.DATASETS.TEST = (names[("particle", "validation")],)
-        if args.weights:
-            cfg.MODEL.WEIGHTS = args.weights
+        cfg.DATASETS.TRAIN = (names[(thing, "training")],)
+        cfg.DATASETS.TEST = (names[(thing, "validation")],)
+        if weights:
+            cfg.MODEL.WEIGHTS = weights
             # recover run-specific input statistics from the config the
             # trainer persisted next to the checkpoint
-            ckpt_cfg = Path(args.weights).parent / "config.json"
+            ckpt_cfg = Path(weights).parent / "config.json"
             if ckpt_cfg.is_file():
                 import json
                 saved = json.loads(ckpt_cfg.read_text())
@@ -115,8 +125,8 @@ def main():
                 print(f"input stats from {ckpt_cfg}: "
                       f"mean={cfg.MODEL.PIXEL_MEAN} "
                       f"std={cfg.MODEL.PIXEL_STD}")
-        if args.train and (args.standardize == "on" or (
-                args.standardize == "auto" and not args.weights)):
+        if do_train and (args.standardize == "on" or (
+                args.standardize == "auto" and not weights)):
             from ampis_tpu.utils.io import imread_bgr
             px = np.concatenate([
                 imread_bgr(d["file_name"]).reshape(-1, 3).astype(np.float32)
@@ -124,9 +134,9 @@ def main():
             mean, std = px.mean(axis=0), px.std(axis=0) + 1e-6
             cfg.MODEL.PIXEL_MEAN = [round(float(v), 3) for v in mean]
             cfg.MODEL.PIXEL_STD = [round(float(v), 3) for v in std]
-            print(f"standardized input: mean={cfg.MODEL.PIXEL_MEAN} "
-                  f"std={cfg.MODEL.PIXEL_STD}")
-        if args.train:
+            print(f"standardized input ({thing}): "
+                  f"mean={cfg.MODEL.PIXEL_MEAN} std={cfg.MODEL.PIXEL_STD}")
+        if do_train:
             cfg.SOLVER.IMS_PER_BATCH = args.batch
             cfg.SOLVER.MAX_ITER = args.max_iter
             cfg.SOLVER.CHECKPOINT_PERIOD = max(args.max_iter // 5, 1)
@@ -138,8 +148,8 @@ def main():
             # when starting from pretrained weights
             cfg.MODEL.BACKBONE.FREEZE_AT = (
                 args.freeze_at if args.freeze_at is not None
-                else (2 if args.weights else 0))
-            cfg.OUTPUT_DIR = str(outdir / "train")
+                else (2 if weights else 0))
+            cfg.OUTPUT_DIR = str(outdir / train_dir)
             from ampis_tpu.data_utils import AmpisTrainer
             trainer = AmpisTrainer(cfg)
             trainer.resume_or_load(resume=False)
@@ -149,18 +159,48 @@ def main():
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.utils.io import imread_bgr
         predictor = DefaultPredictor(cfg)
-        particle_results = []
-        for d in DatasetCatalog.get(names[("particle", "validation")]):
+        results = []
+        for d in DatasetCatalog.get(names[(thing, "validation")]):
             out = predictor(imread_bgr(d["file_name"]))
-            particle_results.append(data_utils.format_outputs(
-                d["file_name"], "particle_Validation", out))
-        with open(outdir / "particle_predictions.pickle", "wb") as f:
-            pickle.dump(particle_results, f)
-        satellite_results = load_pickle(
-            data_root / "sample_satellite_outputs.pickle")
+            results.append(data_utils.format_outputs(
+                d["file_name"], f"{thing}_Validation", out))
+        with open(outdir / f"{thing}_predictions.pickle", "wb") as f:
+            pickle.dump(results, f)
+        return results
+
+    if args.weights or args.train:
+        particle_results = run_model("particle", args.weights, args.train,
+                                     400, "train")
     else:
         particle_results = load_pickle(
             data_root / "sample_particle_outputs.pickle")
+    if args.satellite_weights or args.train_satellites:
+        # DETECTIONS_PER_IMAGE=150 per the reference satellite recipe
+        # (colab cell 20 variant / BASELINE config 3)
+        satellite_results = run_model(
+            "satellite", args.satellite_weights, args.train_satellites,
+            150, "train_satellites")
+        # score the satellite model against its own validation GT
+        sat_gt = [structures.InstanceSet().read_from_ddict(d, inplace=False)
+                  for d in DatasetCatalog.get(
+                      names[("satellite", "validation")])]
+        sat_pr = [structures.InstanceSet().read_from_model_out(
+            o, inplace=False) for o in satellite_results]
+        g_al, p_al_s = analyze.align_instance_sets(sat_gt, sat_pr)
+        for gt, pr in zip(g_al, p_al_s):
+            s = analyze.det_seg_scores(gt, pr,
+                                       size=gt.instances.image_size)
+            print(f"[satellite] {Path(gt.filepath).name}: "
+                  f"det P={s['det_precision']:.3f} "
+                  f"R={s['det_recall']:.3f} "
+                  f"seg P={np.median(s['seg_precision']):.3f} "
+                  f"R={np.median(s['seg_recall']):.3f}")
+        if g_al:
+            sat_ap = evaluate_mask_ap(g_al, p_al_s)
+            print("[satellite] mask AP:",
+                  {k: round(v, 3) for k, v in sat_ap.items()
+                   if k != "per_iou"})
+    else:
         satellite_results = load_pickle(
             data_root / "sample_satellite_outputs.pickle")
 

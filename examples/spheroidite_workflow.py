@@ -30,6 +30,16 @@ def main():
     ap.add_argument("--data",
                     default="/root/reference/examples/spheroidite/data")
     ap.add_argument("--weights", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="fine-tune on the training split before predicting")
+    ap.add_argument("--max-iter", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--standardize", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="PIXEL_MEAN/PIXEL_STD from the training images "
+                         "(auto = on for from-scratch training; see "
+                         "examples/powder_workflow.py --standardize)")
     ap.add_argument("--outdir", default="./spheroidite_out")
     args = ap.parse_args()
     data_root = Path(args.data)
@@ -52,12 +62,50 @@ def main():
                              dataset="spheroidite_Validation", gt=True,
                              summary=True)
 
-    # predictions: shipped sample results, or run the predictor
-    if args.weights:
+    # predictions: shipped sample results, or train/run the predictor
+    if args.weights or args.train:
         cfg = get_cfg()
         cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
         cfg.TEST.DETECTIONS_PER_IMAGE = 400
-        cfg.MODEL.WEIGHTS = args.weights
+        cfg.DATASETS.TRAIN = ("spheroidite_Training",)
+        cfg.DATASETS.TEST = ("spheroidite_Validation",)
+        if args.weights:
+            cfg.MODEL.WEIGHTS = args.weights
+            ckpt_cfg = Path(args.weights).parent / "config.json"
+            if ckpt_cfg.is_file():
+                import json
+                saved = json.loads(ckpt_cfg.read_text())
+                cfg.MODEL.PIXEL_MEAN = saved["MODEL"]["PIXEL_MEAN"]
+                cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
+        if args.train:
+            if args.standardize == "on" or (args.standardize == "auto"
+                                            and not args.weights):
+                from ampis_tpu.utils.io import imread_bgr
+                px = np.concatenate([
+                    imread_bgr(d["file_name"]).reshape(-1, 3)
+                    .astype(np.float32)
+                    for d in DatasetCatalog.get("spheroidite_Training")])
+                cfg.MODEL.PIXEL_MEAN = [
+                    round(float(v), 3) for v in px.mean(axis=0)]
+                cfg.MODEL.PIXEL_STD = [
+                    round(float(v), 3) for v in px.std(axis=0) + 1e-6]
+                print(f"standardized input: mean={cfg.MODEL.PIXEL_MEAN} "
+                      f"std={cfg.MODEL.PIXEL_STD}")
+            cfg.SOLVER.IMS_PER_BATCH = args.batch
+            cfg.SOLVER.MAX_ITER = args.max_iter
+            cfg.SOLVER.CHECKPOINT_PERIOD = max(args.max_iter // 4, 1)
+            cfg.SOLVER.BASE_LR = args.lr
+            cfg.SOLVER.STEPS = (int(args.max_iter * 0.7),
+                                int(args.max_iter * 0.9))
+            cfg.SOLVER.WARMUP_ITERS = min(1000, max(args.max_iter // 10, 1))
+            cfg.MODEL.BACKBONE.FREEZE_AT = 0 if not args.weights else 2
+            cfg.OUTPUT_DIR = str(outdir / "train")
+            from ampis_tpu.data_utils import AmpisTrainer
+            trainer = AmpisTrainer(cfg)
+            trainer.resume_or_load(resume=False)
+            trainer.train()
+            from ampis_tpu.engine.checkpoint import latest_checkpoint
+            cfg.MODEL.WEIGHTS = str(latest_checkpoint(cfg.OUTPUT_DIR))
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.utils.io import imread_bgr
         predictor = DefaultPredictor(cfg)
