@@ -54,14 +54,21 @@ class DetectionLoader:
             self.max_size = cfg.INPUT.MAX_SIZE_TEST
         self.flip = train and cfg.INPUT.RANDOM_FLIP == "horizontal"
 
-        # static shapes: canvas covers the largest resize target
+        # static shapes: ONE raw canvas per dataset (max H x W over the
+        # ddicts; images with smaller raw sizes are placed top-left with
+        # zero padding) so every batch stacks and compiles against a
+        # single program regardless of per-image size jitter. The resize
+        # scale is computed from the raw canvas — a deliberate deviation
+        # from detectron2's per-image shortest-edge scale, negligible for
+        # the near-uniform image sizes of microscopy datasets
+        # (docs/parity.md).
+        self.raw_shape = (max(d["height"] for d in self.ddicts),
+                          max(d["width"] for d in self.ddicts))
         canvases = []
-        for d in self.ddicts:
-            for ms in self.min_sizes:
-                canvases.append(pad_to_canvas_shape(
-                    *get_resize_shape(d["height"], d["width"], ms,
-                                      self.max_size),
-                    fixed=cfg.INPUT.FIXED_SIZE))
+        for ms in self.min_sizes:
+            canvases.append(pad_to_canvas_shape(
+                *get_resize_shape(*self.raw_shape, ms, self.max_size),
+                fixed=cfg.INPUT.FIXED_SIZE))
         self.canvas = (max(c[0] for c in canvases),
                        max(c[1] for c in canvases))
         n_inst = max((d.get("num_instances", 0) for d in self.ddicts),
@@ -141,7 +148,11 @@ class DetectionLoader:
 
     def _load_one(self, ddict, min_size, flip=False):
         img = imread_bgr(ddict["file_name"])
-        h0, w0 = img.shape[:2]
+        if img.shape[:2] != self.raw_shape:
+            padded = np.zeros(self.raw_shape + img.shape[2:], img.dtype)
+            padded[:img.shape[0], :img.shape[1]] = img
+            img = padded
+        h0, w0 = self.raw_shape
         new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
         sy = new_shape[0] / h0
         sx = new_shape[1] / w0

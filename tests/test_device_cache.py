@@ -111,3 +111,47 @@ def test_validation_single_pass_unchanged(ddicts):
     batches = list(loader)
     assert len(batches) == 2  # 3 images wrap to 2 batches of 2
     assert batches[0]["images"].shape[0] == 2
+
+
+def test_mixed_raw_sizes_batch_and_cache(tmp_path):
+    """Images of slightly different raw sizes share one raw canvas.
+
+    Regression: spheroidite images vary 481-484 px in height; batches
+    must stack (streaming and cached) with GT scaled consistently off
+    the shared canvas.
+    """
+    rs = np.random.RandomState(0)
+    dd = []
+    for i, (h, w) in enumerate([(60, 80), (57, 80), (59, 78)]):
+        img = (rs.rand(h, w) * 255).astype(np.uint8)
+        p = str(tmp_path / f"m{i}.png")
+        Image.fromarray(img).save(p)
+        m = np.zeros((h, w), np.uint8, order="F")
+        m[5:25, 10:30] = 1
+        dd.append({"file_name": p, "height": h, "width": w,
+                   "mask_format": "bitmask", "image_id": i,
+                   "annotations": [{
+                       "bbox": np.array([10, 5, 30, 25], np.float64),
+                       "bbox_mode": BoxMode.XYXY_ABS,
+                       "segmentation": RLE.encode(np.asfortranarray(m)),
+                       "category_id": 0}],
+                   "num_instances": 1})
+    cfg = _cfg()
+    loader = DetectionLoader(dd, cfg, train=True, seed=1)
+    assert loader.raw_shape == (60, 80)
+    batcher = DeviceBatcher(DetectionLoader(dd, cfg, train=True, seed=1))
+    it_s = loader.infinite(prefetch=0)
+    it_c = batcher.infinite()
+    for _ in range(4):
+        bs, bc = next(it_s), next(it_c)
+        assert bs["images"].shape[1:3] == (60, 80)
+        for k in ARRAY_KEYS:
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+    # GT stays anchored to the original pixels inside the shared canvas
+    arrays, ns = loader.sample(1, 48, False)   # 57x80 image in 60x80
+    sy, sx = ns[0] / 60, ns[1] / 80
+    np.testing.assert_allclose(
+        arrays["gt_boxes"][0],
+        np.array([10 * sx, 5 * sy, 30 * sx, 25 * sy], np.float32),
+        rtol=1e-5)
