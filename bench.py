@@ -74,9 +74,14 @@ def main():
     if ckpt:
         try:
             from ampis_tpu.engine.checkpoint import load_weights
-            params = jax.tree.map(
-                lambda a, b: jnp.asarray(b, a.dtype), params,
-                load_weights(ckpt, model))
+            loaded = load_weights(ckpt, model)
+            # merge per collection: int8-static init also carries a
+            # "quant" collection that plain checkpoints lack (the
+            # calibration pass below fills it)
+            params = {**params, **{
+                k: jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                                params[k], v)
+                for k, v in loaded.items()}}
             print(f"# weights: {ckpt}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — bench must still run
             print(f"# weights load failed ({e}); using random init",
