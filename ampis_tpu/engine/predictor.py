@@ -44,10 +44,16 @@ class DefaultPredictor:
         self._compiled = {}
         # cfg.TPU.INT8_MASK_HEAD == "static" auto-calibrates activation
         # scales on the first batch (one extra compile) unless the
-        # checkpoint already carries a "quant" collection.
+        # checkpoint already carries a calibrated "quant" collection.
+        # A fresh init DOES carry the collection (all-zero scales), so
+        # "missing" and "all-zero" both mean un-calibrated.
+        quant = (self.params.get("quant")
+                 if isinstance(self.params, dict) else None)
         self._needs_calib = (
             getattr(self.model, "int8_mask_head", False) == "static"
-            and "quant" not in self.params)
+            and (quant is None
+                 or not any(float(s) > 0
+                            for s in jax.tree.leaves(quant))))
         if self._needs_calib:
             self._calib_model = self.model.clone(int8_mask_head="calib")
 

@@ -7,6 +7,7 @@ question — mask AP impact — is measured on a trained powder model, see
 docs/parity.md).
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,3 +121,35 @@ def test_calib_running_max_accumulates():
     s2 = jax.tree.leaves(m2["quant"])
     assert all(float(b) >= float(a) for a, b in zip(s1, s2))
     assert float(s2[0]) > 5 * float(s1[0])
+
+
+@pytest.mark.slow
+def test_predictor_auto_calibrates_static_int8():
+    """DefaultPredictor with INT8_MASK_HEAD='static' calibrates once.
+
+    First call runs a float forward recording activation scales into the
+    'quant' collection; subsequent calls reuse them (no recalibration).
+    """
+    from ampis_tpu.engine.config import get_cfg
+    from ampis_tpu.engine.predictor import DefaultPredictor
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 50
+    cfg.TPU.INT8_MASK_HEAD = "static"
+    cfg.MODEL.WEIGHTS = ""
+    pred = DefaultPredictor(cfg)
+    assert pred._needs_calib
+    img = np.random.RandomState(0).randint(0, 255, (60, 90, 3), np.uint8)
+    out = pred(img)
+    assert not pred._needs_calib
+    assert "quant" in pred.params
+    assert len(jax.tree.leaves(pred.params["quant"])) == 5
+    assert "pred_masks" in out["instances"].get_fields()
+    out2 = pred(img)  # no recalibration path
+    assert np.asarray(out2["instances"].scores).shape == \
+        np.asarray(out["instances"].scores).shape
