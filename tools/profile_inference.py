@@ -58,7 +58,7 @@ def main():
         cache = json.loads((Path(__file__).parents[1] /
                             "bench_quant_scales.json").read_text())
         flat = {tuple(k.split("/")): jnp.asarray(v, jnp.float32)
-                for k, v in cache["random-init"].items()}
+                for k, v in next(iter(cache.values())).items()}
         params = {**params,
                   "quant": flax.traverse_util.unflatten_dict(flat)}
     rs = np.random.RandomState(0)
