@@ -52,7 +52,14 @@ class DetectionLoader:
         else:
             self.min_sizes = [cfg.INPUT.MIN_SIZE_TEST]
             self.max_size = cfg.INPUT.MAX_SIZE_TEST
-        self.flip = train and cfg.INPUT.RANDOM_FLIP == "horizontal"
+        # Flip augmentation, encoded as a 2-bit code: bit 0 = horizontal,
+        # bit 1 = vertical. cfg.INPUT.RANDOM_FLIP: "horizontal"
+        # (detectron2 default) | "vertical" | "both" (independent 0.5
+        # draws — microscopy images are orientation-free) | "none".
+        mode = cfg.INPUT.RANDOM_FLIP if train else "none"
+        self.flip_h = mode in ("horizontal", "both")
+        self.flip_v = mode in ("vertical", "both")
+        self.flip = self.flip_h or self.flip_v
 
         # static shapes: ONE raw canvas per dataset (max H x W over the
         # ddicts; images with smaller raw sizes are placed top-left with
@@ -173,6 +180,7 @@ class DetectionLoader:
             masks = np.zeros((g,) + self.canvas, np.uint8)
             mask_meta = None
 
+        fh, fv = bool(int(flip) & 1), bool(int(flip) & 2)
         for i, a in enumerate(annos[:n]):
             boxes[i] = self._scaled_bbox(a, sx, sy)
             classes[i] = a["category_id"]
@@ -180,24 +188,37 @@ class DetectionLoader:
             crop, (iy0, ix0) = self._instance_crop(
                 a, boxes[i], sx, sy, new_shape)
             if self.mask_canvas:
-                if flip:
+                if fh:
                     crop = crop[:, ::-1]
                     ix0 = new_shape[1] - (ix0 + crop.shape[1])
+                if fv:
+                    crop = crop[::-1, :]
+                    iy0 = new_shape[0] - (iy0 + crop.shape[0])
                 masks[i], mask_meta[i] = instance_mask_canvas(
                     crop, self.mask_canvas, origin=(iy0, ix0))
             else:
                 ch, cw = crop.shape
                 masks[i, iy0:iy0 + ch, ix0:ix0 + cw] = crop
-        if flip and not self.mask_canvas:
-            masks[:n, :, :new_shape[1]] = \
-                masks[:n, :, :new_shape[1]][:, :, ::-1]
+        if not self.mask_canvas:
+            if fh:
+                masks[:n, :, :new_shape[1]] = \
+                    masks[:n, :, :new_shape[1]][:, :, ::-1]
+            if fv:
+                masks[:n, :new_shape[0]] = \
+                    masks[:n, :new_shape[0]][:, ::-1]
 
-        if flip:
+        if fh:
             img = img[:, ::-1].copy()
             x0 = boxes[:n, 0].copy()
             x1 = boxes[:n, 2].copy()
             boxes[:n, 0] = new_shape[1] - x1
             boxes[:n, 2] = new_shape[1] - x0
+        if fv:
+            img = img[::-1, :].copy()
+            y0 = boxes[:n, 1].copy()
+            y1 = boxes[:n, 3].copy()
+            boxes[:n, 1] = new_shape[0] - y1
+            boxes[:n, 3] = new_shape[0] - y0
 
         return img, new_shape, boxes, classes, valid, masks, mask_meta
 
@@ -216,10 +237,17 @@ class DetectionLoader:
         return arrays, ns
 
     def draw_flips(self, n):
-        """n per-sample flip decisions from the loader's RNG stream."""
+        """n per-sample flip codes (bit 0 = h, bit 1 = v) from the
+        loader's RNG stream; each enabled axis is an independent 0.5
+        draw (detectron2 RandomFlip semantics)."""
         if not self.flip:
-            return [False] * n
-        return [bool(f) for f in self.rng.rand(n) < 0.5]
+            return [0] * n
+        codes = np.zeros(n, np.int64)
+        if self.flip_h:
+            codes |= (self.rng.rand(n) < 0.5).astype(np.int64)
+        if self.flip_v:
+            codes |= (self.rng.rand(n) < 0.5).astype(np.int64) << 1
+        return [int(c) for c in codes]
 
     def _make_batch(self, indices, min_size, flips=None):
         imgs, boxes, classes, valids, masks, metas = [], [], [], [], [], []

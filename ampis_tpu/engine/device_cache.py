@@ -66,7 +66,7 @@ class DeviceBatcher:
         return self._bytes
 
     def _get(self, idx, min_size, flip):
-        key = (int(idx), int(min_size), bool(flip))
+        key = (int(idx), int(min_size), int(flip))  # flip: 2-bit h/v code
         entry = self._cache.get(key)
         if entry is not None:
             return entry

@@ -85,6 +85,12 @@ def main():
                     help="also fine-tune a satellite model (same solver "
                          "flags, DETECTIONS_PER_IMAGE=150) and use it for "
                          "the satellite side of the pipeline")
+    ap.add_argument("--flip", default=None,
+                    choices=("horizontal", "vertical", "both", "none"),
+                    help="training flip augmentation (cfg.INPUT."
+                         "RANDOM_FLIP; default horizontal — SEM images "
+                         "are orientation-free, 'both' doubles the "
+                         "augmentation diversity)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -112,6 +118,8 @@ def main():
             cfg.TPU.INT8_MASK_HEAD = args.int8
         cfg.DATASETS.TRAIN = (names[(thing, "training")],)
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
+        if args.flip:
+            cfg.INPUT.RANDOM_FLIP = args.flip
         if weights:
             cfg.MODEL.WEIGHTS = weights
             # recover run-specific input statistics from the config the

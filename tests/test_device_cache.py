@@ -155,3 +155,69 @@ def test_mixed_raw_sizes_batch_and_cache(tmp_path):
         arrays["gt_boxes"][0],
         np.array([10 * sx, 5 * sy, 30 * sx, 25 * sy], np.float32),
         rtol=1e-5)
+
+
+def test_vertical_and_both_flip_consistency(ddicts):
+    """v/h+v flips keep image, boxes, and mask canvases consistent."""
+    cfg = _cfg()
+    cfg.INPUT.RANDOM_FLIP = "both"
+    loader = DetectionLoader(ddicts, cfg, train=True, seed=2)
+    a, ns = loader.sample(0, 48, 0)
+    H, W = ns
+    n = int(a["gt_valid"].sum())
+    for code in (1, 2, 3):
+        b, _ = loader.sample(0, 48, code)
+        img = a["images"]
+        if code & 1:
+            img = img[:, ::-1]
+        if code & 2:
+            img = img[::-1, :]
+        np.testing.assert_array_equal(b["images"], img, err_msg=f"img {code}")
+        bx = a["gt_boxes"][:n].copy()
+        if code & 1:
+            bx = np.stack([W - bx[:, 2], bx[:, 1], W - bx[:, 0], bx[:, 3]], 1)
+        if code & 2:
+            bx = np.stack([bx[:, 0], H - bx[:, 3], bx[:, 2], H - bx[:, 1]], 1)
+        np.testing.assert_allclose(b["gt_boxes"][:n], bx, atol=1e-4,
+                                   err_msg=f"boxes {code}")
+        assert (b["gt_boxes"][:n, 0] < b["gt_boxes"][:n, 2]).all()
+        assert (b["gt_boxes"][:n, 1] < b["gt_boxes"][:n, 3]).all()
+        # mask pixel count is flip-invariant
+        np.testing.assert_array_equal(b["gt_masks"][:n].sum((1, 2)),
+                                      a["gt_masks"][:n].sum((1, 2)))
+
+
+def test_both_flip_cache_equivalence(ddicts):
+    """cached == streaming with RANDOM_FLIP='both' (4 flip states)."""
+    cfg = _cfg()
+    cfg.INPUT.RANDOM_FLIP = "both"
+    stream = DetectionLoader(ddicts, cfg, train=True, seed=11)
+    batcher = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True,
+                                            seed=11))
+    it_s, it_c = stream.infinite(prefetch=0), batcher.infinite()
+    for _ in range(12):
+        bs, bc = next(it_s), next(it_c)
+        for k in ARRAY_KEYS:
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+    assert batcher.n_cached <= 3 * 2 * 4  # img x min_size x flip states
+
+
+def test_flip_dense_mask_path(ddicts):
+    """Dense (MASK_CANVAS=0) GT masks flip with the image."""
+    cfg = _cfg()
+    cfg.INPUT.RANDOM_FLIP = "both"
+    cfg.TPU.MASK_CANVAS = 0
+    loader = DetectionLoader(ddicts, cfg, train=True, seed=2)
+    a, ns = loader.sample(1, 48, 0)
+    H, W = ns
+    n = int(a["gt_valid"].sum())
+    for code in (1, 2, 3):
+        b, _ = loader.sample(1, 48, code)
+        m = a["gt_masks"][:n, :H, :W]
+        if code & 1:
+            m = m[:, :, ::-1]
+        if code & 2:
+            m = m[:, ::-1, :]
+        np.testing.assert_array_equal(b["gt_masks"][:n, :H, :W], m,
+                                      err_msg=f"dense {code}")
