@@ -208,6 +208,15 @@ def get_cfg() -> CfgNode:
     c.INPUT.MIN_SIZE_TEST = 800
     c.INPUT.MAX_SIZE_TEST = 1333
     c.INPUT.RANDOM_FLIP = "horizontal"
+    # Photometric train augmentation (detectron2 T.RandomBrightness /
+    # T.RandomContrast semantics: img*w and blend-with-mean respectively,
+    # w ~ U[min, max] per image). Identity ranges = off (the detectron2
+    # default; the reference never enables them). Applied in-graph inside
+    # the jitted train step, so the device-resident sample cache
+    # (TPU.DEVICE_DATA_CACHE_MB) is unaffected — recommended for
+    # from-scratch training where augmentation matters most.
+    c.INPUT.RANDOM_BRIGHTNESS = (1.0, 1.0)
+    c.INPUT.RANDOM_CONTRAST = (1.0, 1.0)
     c.INPUT.MASK_FORMAT = "polygon"
     c.INPUT.FORMAT = "BGR"
     # TPU-specific: fixed padded canvas (h, w) for static shapes under jit;

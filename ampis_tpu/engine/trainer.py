@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..input.transforms import preprocess_image
+from ..input.transforms import photometric_jitter, preprocess_image
 from ..models.mask_rcnn import MaskRCNN, build_model, init_params
 from ..utils.compile_cache import enable_persistent_cache
 from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
@@ -70,14 +70,15 @@ def build_lr_schedule(cfg, host=False):
     return schedule
 
 
-def trainable_mask(params, freeze_at=2):
-    """False for frozen leaves: FrozenBN stats always; stem/res2 at
+def trainable_mask(params, freeze_at=2, train_norm=False):
+    """False for frozen leaves: norm affines (FrozenBN stats) unless
+    train_norm (GN backbones train their norms); stem/res2 at
     freeze_at>=1/2 (detectron2 BACKBONE.FREEZE_AT semantics)."""
 
     def walk(node, path):
         if isinstance(node, dict):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
-        if "norm" in path:
+        if "norm" in path and not train_norm:
             return False
         if freeze_at >= 1 and "stem" in path:
             return False
@@ -118,8 +119,9 @@ class Trainer:
         # optimizer: SGD momentum + weight decay; frozen params (FrozenBN
         # stats, stem/res2 per FREEZE_AT) get zero updates
         self.schedule = build_lr_schedule(cfg)
-        mask = trainable_mask(self.params,
-                              freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
+        mask = trainable_mask(
+            self.params, freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            train_norm=cfg.MODEL.RESNETS.NORM.lower() == "gn")
         self._mask = mask
         labels = jax.tree.map(
             lambda t: "trainable" if t else "frozen", mask)
@@ -202,9 +204,21 @@ class Trainer:
         tx = self.tx
         mean = tuple(self.cfg.MODEL.PIXEL_MEAN)
         std = tuple(self.cfg.MODEL.PIXEL_STD)
+        bright = tuple(self.cfg.INPUT.RANDOM_BRIGHTNESS)
+        contrast = tuple(self.cfg.INPUT.RANDOM_CONTRAST)
+        jitter = bright != (1.0, 1.0) or contrast != (1.0, 1.0)
 
         def loss_fn(params, images, gt_boxes, gt_classes, gt_valid,
                     gt_masks, gt_mask_meta, rng, new_shape, canvas):
+            if jitter:
+                # in-graph photometric augmentation (INPUT.RANDOM_BRIGHTNESS
+                # / RANDOM_CONTRAST); keys derived by fold_in so the model's
+                # sampling rng stream is unchanged when jitter is off
+                keys = jax.random.split(jax.random.fold_in(rng, 0x9d),
+                                        images.shape[0])
+                images = jax.vmap(
+                    lambda im, k: photometric_jitter(im, k, bright, contrast)
+                )(images, keys)
             batch = jax.vmap(
                 lambda im: preprocess_image(im, new_shape, canvas, mean, std)
             )(images)

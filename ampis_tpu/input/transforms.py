@@ -110,6 +110,25 @@ def preprocess_image(image, new_shape, canvas, pixel_mean, pixel_std,
     return img
 
 
+def photometric_jitter(image, key, brightness=(1.0, 1.0),
+                       contrast=(1.0, 1.0)):
+    """Random brightness/contrast on one raw (H, W, C) image, in-graph.
+
+    detectron2 transform semantics (T.RandomBrightness: img * w;
+    T.RandomContrast: mean(img) * (1 - w) + img * w, each w ~ U[min, max])
+    applied on the raw pixel scale *before* resize/normalize, matching
+    where DatasetMapper applies them host-side. Train-only; identity
+    ranges are the caller's signal to skip the call entirely.
+    """
+    kb, kc = jax.random.split(key)
+    img = image.astype(jnp.float32)
+    wb = jax.random.uniform(kb, (), minval=brightness[0],
+                            maxval=brightness[1])
+    wc = jax.random.uniform(kc, (), minval=contrast[0], maxval=contrast[1])
+    img = img * wb
+    return img.mean() * (1.0 - wc) + img * wc
+
+
 def resize_scale(orig_shape, new_shape):
     """(sy, sx) mapping resized coords back to original coords."""
     return (orig_shape[0] / new_shape[0], orig_shape[1] / new_shape[1])

@@ -39,6 +39,54 @@ class FrozenBN(nn.Module):
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class GroupNorm(nn.Module):
+    """32-group GroupNorm with FrozenBN-compatible param tree.
+
+    For from-scratch training (cfg.MODEL.RESNETS.NORM = "GN"): FrozenBN is
+    a bare affine at random init, which is the classic from-scratch
+    handicap — the reference never hits it because its recipe always
+    starts from COCO weights whose folded BN statistics normalize each
+    stage ("Rethinking ImageNet Pre-training", He et al. 2019, uses GN/
+    SyncBN for from-scratch detection). Parameters are the same
+    {scale, bias} of shape (C,) under the same "norm" module name, so
+    checkpoint structure is identical to FrozenBN and the trainer's
+    freeze logic can key on norm type alone. Statistics in f32.
+    """
+    features: int
+    groups: int = 32
+    init_scale: float = 1.0
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale",
+                           nn.initializers.constant(self.init_scale),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        g = min(self.groups, self.features)
+        shape = x.shape
+        xf = x.astype(jnp.float32).reshape(
+            shape[0], -1, g, self.features // g)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=(1, 3), keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        return (xn * scale + bias).astype(self.dtype)
+
+
+def make_norm(norm_type: str, features: int, init_scale: float = 1.0,
+              dtype=jnp.float32, name: str = "norm"):
+    """Norm layer by detectron2 config name: "FrozenBN" (default) | "GN"."""
+    if norm_type.lower() in ("frozenbn", "bn", ""):
+        return FrozenBN(features, init_scale=init_scale, dtype=dtype,
+                        name=name)
+    if norm_type.lower() == "gn":
+        return GroupNorm(features, init_scale=init_scale, dtype=dtype,
+                         name=name)
+    raise ValueError(f"unsupported norm type: {norm_type!r}")
+
+
 class Conv(nn.Module):
     """Conv2D with torch-style symmetric padding, NHWC, optional norm+relu."""
     features: int
@@ -47,6 +95,7 @@ class Conv(nn.Module):
     padding: Optional[int] = None
     use_bias: bool = True
     norm: bool = False
+    norm_type: str = "FrozenBN"
     norm_init_scale: float = 1.0
     activation: Optional[Callable] = None
     dtype: Any = jnp.float32
@@ -60,8 +109,9 @@ class Conv(nn.Module):
                     use_bias=self.use_bias, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
         if self.norm:
-            x = FrozenBN(self.features, init_scale=self.norm_init_scale,
-                         dtype=self.dtype, name="norm")(x)
+            x = make_norm(self.norm_type, self.features,
+                          init_scale=self.norm_init_scale,
+                          dtype=self.dtype, name="norm")(x)
         if self.activation is not None:
             x = self.activation(x)
         return x

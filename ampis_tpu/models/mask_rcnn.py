@@ -72,6 +72,10 @@ class MaskRCNN(nn.Module):
     mask_rois_per_image: int = 128
     # backbone
     depth: int = 50
+    # cfg.MODEL.RESNETS.NORM: "FrozenBN" (reference default; required for
+    # converted d2 checkpoints) | "GN" (from-scratch training — see
+    # models.layers.GroupNorm). Param tree is identical either way.
+    backbone_norm: str = "FrozenBN"
     dtype: Any = jnp.float32
     roi_chunk: int = 256
     # window-DMA Pallas RoIAlign (exact for RoIs whose footprint on their
@@ -124,8 +128,9 @@ class MaskRCNN(nn.Module):
     int8_mask_head: Any = False
 
     def setup(self):
-        self.backbone_net = ResNet(depth=self.depth, dtype=self.dtype,
-                                   name="backbone")
+        self.backbone_net = ResNet(depth=self.depth,
+                                   norm_type=self.backbone_norm,
+                                   dtype=self.dtype, name="backbone")
         self.fpn = FPN(dtype=self.dtype, name="fpn")
         self.rpn_head = RPNHead(num_anchors=len(self.anchor_ratios),
                                 dtype=self.dtype, name="rpn")
@@ -469,6 +474,7 @@ def build_model(cfg) -> MaskRCNN:
         nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         depth=cfg.MODEL.RESNETS.DEPTH,
+        backbone_norm=cfg.MODEL.RESNETS.NORM,
         dtype=dtype,
         # USE_PALLAS: True = auto-detect (Pallas on TPU), False = portable
         # gather path everywhere, "force" = Pallas even off-TPU

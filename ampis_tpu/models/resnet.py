@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Conv, FrozenBN, max_pool_3x3_s2
+from .layers import Conv, make_norm, max_pool_3x3_s2
 
 BLOCKS_PER_STAGE = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
@@ -51,6 +51,7 @@ class Bottleneck(nn.Module):
     bottleneck_channels: int
     stride: int = 1
     stride_in_1x1: bool = True
+    norm_type: str = "FrozenBN"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -58,17 +59,21 @@ class Bottleneck(nn.Module):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
         out = Conv(self.bottleneck_channels, kernel=1, stride=s1, padding=0,
-                   use_bias=False, norm=True, activation=nn.relu,
+                   use_bias=False, norm=True, norm_type=self.norm_type,
+                   activation=nn.relu,
                    dtype=self.dtype, name="conv1")(x)
         out = Conv(self.bottleneck_channels, kernel=3, stride=s3, padding=1,
-                   use_bias=False, norm=True, activation=nn.relu,
+                   use_bias=False, norm=True, norm_type=self.norm_type,
+                   activation=nn.relu,
                    dtype=self.dtype, name="conv2")(out)
         out = Conv(self.out_channels, kernel=1, stride=1, padding=0,
-                   use_bias=False, norm=True, norm_init_scale=0.0,
+                   use_bias=False, norm=True, norm_type=self.norm_type,
+                   norm_init_scale=0.0,
                    dtype=self.dtype, name="conv3")(out)
         if x.shape[-1] != self.out_channels or self.stride != 1:
             x = Conv(self.out_channels, kernel=1, stride=self.stride,
-                     padding=0, use_bias=False, norm=True, dtype=self.dtype,
+                     padding=0, use_bias=False, norm=True,
+                     norm_type=self.norm_type, dtype=self.dtype,
                      name="shortcut")(x)
         return nn.relu(out + x)
 
@@ -97,6 +102,7 @@ class StemConv7(nn.Module):
     and XLA cannot fuse it into the preceding normalize.
     """
     features: int
+    norm_type: str = "FrozenBN"
     dtype: Any = jnp.float32
     s2d: bool = False
 
@@ -112,19 +118,21 @@ class StemConv7(nn.Module):
                 xx, kernel.astype(self.dtype), window_strides=(2, 2),
                 padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = FrozenBN(self.features, dtype=self.dtype, name="norm")(y)
+        y = make_norm(self.norm_type, self.features,
+                      dtype=self.dtype, name="norm")(y)
         return nn.relu(y)
 
 
 class Stem(nn.Module):
     out_channels: int = 64
+    norm_type: str = "FrozenBN"
     dtype: Any = jnp.float32
     s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = StemConv7(self.out_channels, dtype=self.dtype, s2d=self.s2d,
-                      name="conv1")(x)
+        x = StemConv7(self.out_channels, norm_type=self.norm_type,
+                      dtype=self.dtype, s2d=self.s2d, name="conv1")(x)
         return max_pool_3x3_s2(x)
 
 
@@ -140,12 +148,14 @@ class ResNet(nn.Module):
     res2_out_channels: int = 256
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     stride_in_1x1: bool = True
+    norm_type: str = "FrozenBN"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = Stem(self.stem_channels, dtype=self.dtype, name="stem")(x)
+        x = Stem(self.stem_channels, norm_type=self.norm_type,
+                 dtype=self.dtype, name="stem")(x)
         outputs = {}
         blocks = BLOCKS_PER_STAGE[self.depth]
         out_ch = self.res2_out_channels
@@ -157,6 +167,7 @@ class ResNet(nn.Module):
                 x = Bottleneck(out_ch, bott_ch,
                                stride=stride if b == 0 else 1,
                                stride_in_1x1=self.stride_in_1x1,
+                               norm_type=self.norm_type,
                                dtype=self.dtype, name=f"{name}.{b}")(x)
             if name in self.out_features:
                 outputs[name] = x

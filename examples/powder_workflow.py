@@ -91,6 +91,18 @@ def main():
                          "RANDOM_FLIP; default horizontal — SEM images "
                          "are orientation-free, 'both' doubles the "
                          "augmentation diversity)")
+    ap.add_argument("--norm", default="auto",
+                    choices=("auto", "GN", "FrozenBN"),
+                    help="backbone norm (cfg.MODEL.RESNETS.NORM). 'auto' "
+                         "= GN when training from scratch (FrozenBN is a "
+                         "bare affine at random init — the from-scratch "
+                         "handicap), FrozenBN otherwise (required for "
+                         "converted d2 checkpoints)")
+    ap.add_argument("--jitter", type=float, default=0.0,
+                    help="photometric augmentation strength x: random "
+                         "brightness/contrast in [1-x, 1+x] per image "
+                         "(cfg.INPUT.RANDOM_BRIGHTNESS/RANDOM_CONTRAST, "
+                         "in-graph; detectron2 transform semantics)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -120,19 +132,30 @@ def main():
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
         if args.flip:
             cfg.INPUT.RANDOM_FLIP = args.flip
+        if args.jitter:
+            cfg.INPUT.RANDOM_BRIGHTNESS = (1 - args.jitter, 1 + args.jitter)
+            cfg.INPUT.RANDOM_CONTRAST = (1 - args.jitter, 1 + args.jitter)
+        if args.norm == "auto":
+            cfg.MODEL.RESNETS.NORM = ("GN" if do_train and not weights
+                                      else "FrozenBN")
+        else:
+            cfg.MODEL.RESNETS.NORM = args.norm
         if weights:
             cfg.MODEL.WEIGHTS = weights
-            # recover run-specific input statistics from the config the
-            # trainer persisted next to the checkpoint
+            # recover run-specific keys from the config the trainer
+            # persisted next to the checkpoint (input statistics, norm)
             ckpt_cfg = Path(weights).parent / "config.json"
             if ckpt_cfg.is_file():
                 import json
                 saved = json.loads(ckpt_cfg.read_text())
                 cfg.MODEL.PIXEL_MEAN = saved["MODEL"]["PIXEL_MEAN"]
                 cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
+                cfg.MODEL.RESNETS.NORM = saved["MODEL"]["RESNETS"].get(
+                    "NORM", "FrozenBN")
                 print(f"input stats from {ckpt_cfg}: "
                       f"mean={cfg.MODEL.PIXEL_MEAN} "
-                      f"std={cfg.MODEL.PIXEL_STD}")
+                      f"std={cfg.MODEL.PIXEL_STD} "
+                      f"norm={cfg.MODEL.RESNETS.NORM}")
         if do_train and (args.standardize == "on" or (
                 args.standardize == "auto" and not weights)):
             from ampis_tpu.utils.io import imread_bgr

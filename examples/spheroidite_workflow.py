@@ -40,6 +40,16 @@ def main():
                     help="PIXEL_MEAN/PIXEL_STD from the training images "
                          "(auto = on for from-scratch training; see "
                          "examples/powder_workflow.py --standardize)")
+    ap.add_argument("--flip", default=None,
+                    choices=("horizontal", "vertical", "both", "none"),
+                    help="training flip augmentation (cfg.INPUT.RANDOM_FLIP)")
+    ap.add_argument("--norm", default="auto",
+                    choices=("auto", "GN", "FrozenBN"),
+                    help="backbone norm; 'auto' = GN when training from "
+                         "scratch (see examples/powder_workflow.py --norm)")
+    ap.add_argument("--jitter", type=float, default=0.0,
+                    help="random brightness/contrast in [1-x, 1+x] "
+                         "(in-graph, detectron2 transform semantics)")
     ap.add_argument("--outdir", default="./spheroidite_out")
     args = ap.parse_args()
     data_root = Path(args.data)
@@ -69,6 +79,16 @@ def main():
         cfg.TEST.DETECTIONS_PER_IMAGE = 400
         cfg.DATASETS.TRAIN = ("spheroidite_Training",)
         cfg.DATASETS.TEST = ("spheroidite_Validation",)
+        if args.flip:
+            cfg.INPUT.RANDOM_FLIP = args.flip
+        if args.jitter:
+            cfg.INPUT.RANDOM_BRIGHTNESS = (1 - args.jitter, 1 + args.jitter)
+            cfg.INPUT.RANDOM_CONTRAST = (1 - args.jitter, 1 + args.jitter)
+        if args.norm == "auto":
+            cfg.MODEL.RESNETS.NORM = ("GN" if args.train and not args.weights
+                                      else "FrozenBN")
+        else:
+            cfg.MODEL.RESNETS.NORM = args.norm
         if args.weights:
             cfg.MODEL.WEIGHTS = args.weights
             ckpt_cfg = Path(args.weights).parent / "config.json"
@@ -77,6 +97,8 @@ def main():
                 saved = json.loads(ckpt_cfg.read_text())
                 cfg.MODEL.PIXEL_MEAN = saved["MODEL"]["PIXEL_MEAN"]
                 cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
+                cfg.MODEL.RESNETS.NORM = saved["MODEL"]["RESNETS"].get(
+                    "NORM", "FrozenBN")
         if args.train:
             if args.standardize == "on" or (args.standardize == "auto"
                                             and not args.weights):

@@ -358,3 +358,63 @@ def test_deconv_layout_matches_torch_semantics():
     out = np.asarray(mod.apply(
         {"params": {"kernel": jnp.asarray(kernel)}}, jnp.asarray(x)))
     np.testing.assert_allclose(out, manual, atol=1e-5)
+
+
+# ---------------------------------------------------------------- GN / jitter
+
+def test_groupnorm_normalizes_per_group():
+    from ampis_tpu.models.layers import GroupNorm
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 64) * 5 + 3, jnp.float32)
+    gn = GroupNorm(64, groups=32)
+    p = gn.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(gn.apply(p, x)).reshape(2, -1, 32, 2)
+    np.testing.assert_allclose(y.mean(axis=(1, 3)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(axis=(1, 3)), 1.0, atol=1e-4)
+
+
+def test_gn_param_tree_matches_frozenbn():
+    """cfg.MODEL.RESNETS.NORM='GN' must not change checkpoint structure."""
+    kw = dict(num_classes=1, detections_per_image=8, pre_nms_topk_test=64,
+              post_nms_topk_test=32, roi_chunk=32, fused_roi=False)
+    p_fb = init_params(MaskRCNN(**kw), jax.random.PRNGKey(0))
+    p_gn = init_params(MaskRCNN(backbone_norm="GN", **kw),
+                       jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(p_fb)
+            == jax.tree_util.tree_structure(p_gn))
+
+
+def test_trainable_mask_gn_trains_norm_params():
+    kw = dict(num_classes=1, detections_per_image=8, pre_nms_topk_test=64,
+              post_nms_topk_test=32, roi_chunk=32, fused_roi=False)
+    params = init_params(MaskRCNN(**kw), jax.random.PRNGKey(0))
+    frozen = trainable_mask(params, freeze_at=0, train_norm=False)
+    gn = trainable_mask(params, freeze_at=0, train_norm=True)
+    leaves_f = jax.tree_util.tree_leaves(frozen)
+    leaves_g = jax.tree_util.tree_leaves(gn)
+    assert not all(leaves_f)      # FrozenBN: norm affines frozen
+    assert all(leaves_g)          # GN at freeze_at=0: everything trains
+
+
+def test_photometric_jitter_semantics():
+    from ampis_tpu.input.transforms import photometric_jitter
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.randint(0, 255, (16, 16, 3)), jnp.uint8)
+    f32 = jnp.asarray(img, jnp.float32)
+    # identity ranges are an exact passthrough
+    out = photometric_jitter(img, jax.random.PRNGKey(2), (1.0, 1.0),
+                             (1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f32))
+    # brightness-only: output is img * w, w in [0.5, 0.7]
+    out = photometric_jitter(img, jax.random.PRNGKey(3), (0.5, 0.7),
+                             (1.0, 1.0))
+    ratio = np.asarray(out) / np.maximum(np.asarray(f32), 1e-6)
+    w = np.median(ratio)
+    assert 0.5 <= w <= 0.7
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f32) * w,
+                               rtol=1e-5, atol=1e-3)
+    # contrast-only: mean is preserved (blend with the image mean)
+    out = photometric_jitter(img, jax.random.PRNGKey(4), (1.0, 1.0),
+                             (0.6, 0.8))
+    np.testing.assert_allclose(float(out.mean()), float(f32.mean()),
+                               rtol=1e-4)
