@@ -269,6 +269,14 @@ def get_cfg() -> CfgNode:
     # Off by default: ~0.5% logit error — check mask AP on your dataset
     # before enabling (see docs/performance.md for the powder numbers).
     c.TPU.INT8_MASK_HEAD = False
+    # inference mask-stage capacity per image (models.mask_rcnn
+    # MaskRCNN.mask_capacity_per_image): > 0 pools + mask-heads only the
+    # batch's top-(B*capacity) detection slots instead of all
+    # B*DETECTIONS_PER_IMAGE — identical outputs unless a batch carries
+    # more valid detections than capacity (overflow -> empty masks for
+    # the lowest-score detections, counted in the output's
+    # "mask_dropped"). 0 = off (exact at any density).
+    c.TPU.MASK_CAPACITY_PER_IMAGE = 0
     # per-instance GT mask crop canvas (T, T): ~60x less host->device
     # traffic than dense (G, H, W) mask stacks; instances larger than
     # T - 2 px are downscaled to fit (see ops.roi_align). 0 = dense path.

@@ -123,6 +123,13 @@ class DefaultPredictor:
             self._needs_calib = False
         out = self._run(jnp.asarray(raw), new_shape, canvas)
         out = jax.tree.map(np.asarray, out)
+        if int(out.get("mask_dropped", 0)) > 0:
+            import warnings
+            warnings.warn(
+                f"mask-stage capacity overflow: {int(out['mask_dropped'])} "
+                f"valid detections in this batch got empty masks — raise "
+                f"cfg.TPU.MASK_CAPACITY_PER_IMAGE (or set 0 for the exact "
+                f"path).", stacklevel=2)
 
         sy = h0 / new_shape[0]
         sx = w0 / new_shape[1]

@@ -70,6 +70,20 @@ class MaskRCNN(nn.Module):
     nms_thresh: float = 0.5
     detections_per_image: int = 100
     mask_rois_per_image: int = 128
+    # Inference mask-stage capacity (cfg.TPU.MASK_CAPACITY_PER_IMAGE):
+    # the detection stage keeps detections_per_image static slots per
+    # image, but real workloads fill only ~50-70% of them (the shipped
+    # reference predictions carry 197-277 detections against the 400
+    # cap), so pooling + mask head on every slot wastes MXU/HBM on
+    # padding. > 0 compacts the mask stage across the batch: the
+    # B*capacity highest-priority slots (valid first, then score) are
+    # pooled and masked, results scattered back. Outputs are IDENTICAL
+    # to the uncompacted path unless the batch overflows capacity, in
+    # which case the lowest-score valid detections get empty masks and
+    # the overflow is reported in the returned "mask_dropped" count
+    # (the reference's GPU path is fully dynamic — it only ever
+    # computes masks for actual detections). 0 = off.
+    mask_capacity_per_image: int = 0
     # backbone
     depth: int = 50
     # cfg.MODEL.RESNETS.NORM: "FrozenBN" (reference default; required for
@@ -179,31 +193,41 @@ class MaskRCNN(nn.Module):
         strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES) * b
         return pack_feature_levels(feature_list), strides
 
-    def _pool(self, packed, strides, boxes, valid, resolution):
-        """RoIAlign (B, K, 4) boxes -> (B*K, P, P, C) in one fused gather."""
-        b, k = boxes.shape[:2]
+    def _pool(self, packed, strides, boxes, valid, resolution,
+              img_idx=None, batch=None):
+        """RoIAlign (B, K, 4) boxes -> (B*K, P, P, C) in one fused gather.
+
+        ``img_idx`` (flat (N,) int32) overrides the default (B, K) layout
+        mapping — used by the compacted mask stage, whose RoIs are an
+        arbitrary cross-batch selection.
+        """
         n_lvl = len(BOX_FEATURES)
         flat_boxes = boxes.reshape(-1, 4)
         # keep gather indices in-range for padding rows
         flat_boxes = jnp.where(valid.reshape(-1, 1), flat_boxes, 0.0)
         levels = assign_levels(flat_boxes)
-        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        if img_idx is None:
+            b, k = boxes.shape[:2]
+            img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         entries = img_idx * n_lvl + levels
         return roi_align_packed(
             packed, flat_boxes, entries, strides=strides,
             output_size=resolution, max_sr=self.pooler_max_sr,
             sampling_ratio=self.pooler_sampling_ratio, chunk=self.roi_chunk)
 
-    def _pool_fused(self, pack, boxes, valid, resolution, trainable=False):
+    def _pool_fused(self, pack, boxes, valid, resolution, trainable=False,
+                    img_idx=None):
         """Window-DMA Pallas RoIAlign (TPU hot path; see ops.roi_align_fused).
 
         ``trainable`` uses the custom-VJP variant whose backward
         scatter-adds per-RoI window gradients into the feature plane.
+        ``img_idx`` as in _pool.
         """
-        b, k = boxes.shape[:2]
         flat = jnp.where(valid.reshape(-1, 1), boxes.reshape(-1, 4), 0.0)
         levels = assign_levels(flat)
-        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        if img_idx is None:
+            b, k = boxes.shape[:2]
+            img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         strides = tuple(FPN_STRIDES[f] for f in BOX_FEATURES)
         return roi_align_windows(
             pack, flat, img_idx, levels, valid.reshape(-1),
@@ -272,34 +296,60 @@ class MaskRCNN(nn.Module):
         dets = jax.vmap(one)(reg_boxes, probs, prop_valid, image_sizes)
 
         d = dets["boxes"].shape[1]
-        if use_fused:
-            mask_pooled = self._pool_fused(pack, dets["boxes"],
-                                           dets["valid"],
-                                           self.mask_pooler_resolution)
+        mcap = self.mask_capacity_per_image
+        compact = bool(mcap) and mcap < d
+        dropped = jnp.zeros((), jnp.int32)
+        if compact:
+            # batch-global compaction (see mask_capacity_per_image): pool
+            # + mask-head only the B*mcap highest-priority slots
+            m_total = b * mcap
+            flat_valid = dets["valid"].reshape(-1)
+            prio = jnp.where(flat_valid, dets["scores"].reshape(-1), -1.0)
+            _, top_idx = jax.lax.top_k(prio, m_total)
+            mask_boxes = dets["boxes"].reshape(-1, 4)[top_idx]
+            mask_valid = flat_valid[top_idx]
+            mask_classes = dets["classes"].reshape(-1)[top_idx]
+            mask_img = (top_idx // d).astype(jnp.int32)
+            dropped = (jnp.sum(flat_valid.astype(jnp.int32))
+                       - jnp.sum(mask_valid.astype(jnp.int32)))
         else:
-            mask_pooled = self._pool(packed, strides, dets["boxes"],
-                                     dets["valid"],
-                                     self.mask_pooler_resolution)
+            mask_boxes, mask_valid = dets["boxes"], dets["valid"]
+            mask_classes, mask_img = dets["classes"], None
+
+        if use_fused:
+            mask_pooled = self._pool_fused(pack, mask_boxes, mask_valid,
+                                           self.mask_pooler_resolution,
+                                           img_idx=mask_img)
+        else:
+            mask_pooled = self._pool(packed, strides, mask_boxes,
+                                     mask_valid,
+                                     self.mask_pooler_resolution,
+                                     img_idx=mask_img)
         mask_logits = self.mask_head(
             mask_pooled, fused_tail=use_fused and self.fused_mask_tail,
             interpret=self._fused_interpret(),
             winograd=self._use_winograd(),
-            int8=self.int8_mask_head)                      # (B*D, 2P, 2P, C)
+            int8=self.int8_mask_head)                      # (N, 2P, 2P, C)
         mp = mask_logits.shape[1]
         if self.num_classes == 1:
             # single-class: the per-RoI class gather is a squeeze (the
             # general take_along_axis cost 3 ms/batch-32 on v5e here)
             sel = mask_logits[..., 0]
         else:
-            cls = jnp.clip(dets["classes"].reshape(-1), 0,
+            cls = jnp.clip(mask_classes.reshape(-1), 0,
                            self.num_classes - 1)
             sel = jnp.take_along_axis(
                 mask_logits, cls[:, None, None, None], axis=3)[..., 0]
-        masks = jax.nn.sigmoid(sel).reshape(b, d, mp, mp)
+        sel = jax.nn.sigmoid(sel)
+        if compact:
+            masks = jnp.zeros((b * d, mp, mp), sel.dtype)
+            masks = masks.at[top_idx].set(sel).reshape(b, d, mp, mp)
+        else:
+            masks = sel.reshape(b, d, mp, mp)
 
         return {"boxes": dets["boxes"], "scores": dets["scores"],
                 "classes": dets["classes"], "masks": masks,
-                "valid": dets["valid"]}
+                "valid": dets["valid"], "mask_dropped": dropped}
 
     def __call__(self, images, image_sizes):
         return self.inference(images, image_sizes)
@@ -483,6 +533,8 @@ def build_model(cfg) -> MaskRCNN:
                    else False),
         # bool or "calib"/"static"/"dynamic" (see MaskRCNN.int8_mask_head)
         int8_mask_head=getattr(cfg.TPU, "INT8_MASK_HEAD", False),
+        mask_capacity_per_image=getattr(
+            cfg.TPU, "MASK_CAPACITY_PER_IMAGE", 0) or 0,
     )
 
 

@@ -418,3 +418,35 @@ def test_photometric_jitter_semantics():
                              (0.6, 0.8))
     np.testing.assert_allclose(float(out.mean()), float(f32.mean()),
                                rtol=1e-4)
+
+
+def test_mask_capacity_compaction_matches_exact_path():
+    """mask_capacity_per_image compacts the mask stage with identical
+    outputs when the batch's valid detections fit the capacity."""
+    kw = dict(num_classes=1, detections_per_image=16, pre_nms_topk_test=64,
+              post_nms_topk_test=48, roi_chunk=32, fused_roi=False)
+    model = MaskRCNN(**kw)
+    params = init_params(model, jax.random.PRNGKey(0))
+    rs = np.random.RandomState(3)
+    images = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    sizes = jnp.asarray([[64.0, 64.0]] * 2, jnp.float32)
+    out = model.apply(params, images, sizes, method=MaskRCNN.inference)
+    total_valid = int(np.asarray(out["valid"]).sum())
+    assert int(out["mask_dropped"]) == 0
+    cap = max((total_valid + 1) // 2 + 1, 1)  # fits: 2 * cap >= total
+    model_c = MaskRCNN(mask_capacity_per_image=cap, **kw)
+    out_c = model_c.apply(params, images, sizes, method=MaskRCNN.inference)
+    assert int(out_c["mask_dropped"]) == 0
+    valid = np.asarray(out["valid"])
+    np.testing.assert_array_equal(valid, np.asarray(out_c["valid"]))
+    np.testing.assert_allclose(np.asarray(out["masks"])[valid],
+                               np.asarray(out_c["masks"])[valid],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["boxes"])[valid],
+                               np.asarray(out_c["boxes"])[valid])
+    # overflow accounting: capacity 1/image drops the excess
+    if total_valid > 2:
+        model_o = MaskRCNN(mask_capacity_per_image=1, **kw)
+        out_o = model_o.apply(params, images, sizes,
+                              method=MaskRCNN.inference)
+        assert int(out_o["mask_dropped"]) == total_valid - 2
