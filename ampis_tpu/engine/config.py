@@ -269,6 +269,14 @@ def get_cfg() -> CfgNode:
     # Off by default: ~0.5% logit error — check mask AP on your dataset
     # before enabling (see docs/performance.md for the powder numbers).
     c.TPU.INT8_MASK_HEAD = False
+    # int8 quantization of the res2-res5 backbone stages at inference
+    # (models.resnet Bottleneck: FrozenBN folded into the quantized
+    # kernels; activations cross HBM as int8 — the backbone is
+    # bandwidth-bound). False | "static" (calibrated scales; the
+    # predictor auto-calibrates alongside INT8_MASK_HEAD) | "calib".
+    # FrozenBN models only. Check mask AP on your dataset before
+    # enabling (docs/performance.md).
+    c.TPU.INT8_BACKBONE = False
     # inference mask-stage capacity per image (models.mask_rcnn
     # MaskRCNN.mask_capacity_per_image): > 0 pools + mask-heads only the
     # batch's top-(B*capacity) detection slots instead of all

@@ -49,13 +49,14 @@ class DefaultPredictor:
         # "missing" and "all-zero" both mean un-calibrated.
         quant = (self.params.get("quant")
                  if isinstance(self.params, dict) else None)
-        self._needs_calib = (
-            getattr(self.model, "int8_mask_head", False) == "static"
-            and (quant is None
-                 or not any(float(s) > 0
-                            for s in jax.tree.leaves(quant))))
+        statics = {
+            k: "calib" for k in ("int8_mask_head", "int8_backbone")
+            if getattr(self.model, k, False) == "static"}
+        self._needs_calib = bool(statics) and (
+            quant is None
+            or not any(float(s) > 0 for s in jax.tree.leaves(quant)))
         if self._needs_calib:
-            self._calib_model = self.model.clone(int8_mask_head="calib")
+            self._calib_model = self.model.clone(**statics)
 
     # -- jitted core --------------------------------------------------------
 

@@ -117,6 +117,71 @@ class Conv(nn.Module):
         return x
 
 
+class _KernelParam(nn.Module):
+    """Bare conv kernel param matching nn.Conv's name/init/layout."""
+    shape: Any
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          tuple(self.shape), jnp.float32)
+
+
+class _NormParams(nn.Module):
+    """Bare FrozenBN {scale, bias} params (same names/inits as FrozenBN)."""
+    features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale",
+                           nn.initializers.constant(self.init_scale),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+class ConvBNInt8(nn.Module):
+    """conv + FrozenBN computed as one int8 conv with the norm folded in.
+
+    Param tree is IDENTICAL to ``Conv(..., use_bias=False, norm=True)``
+    (conv/kernel + norm/{scale, bias} under this module's name), so a
+    checkpoint trained on the float path loads unchanged. At trace time
+    the FrozenBN affine folds into the conv: conv(x)*s + b == x ⊛ (w*s)
+    + b, and the folded kernel is quantized per output channel
+    (ops.quant). Inference-only; FrozenBN only (GN cannot fold — its
+    statistics are runtime values).
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    norm_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, xq, sx, *, relu, out_scale=None,
+                 out_dtype=jnp.float32):
+        """xq int8 (or float with sx=None -> dynamic), sx its scale.
+
+        out_scale: requantize the (bias+relu'd) output to int8 with this
+        calibrated scale — fused into the conv epilogue (the tensor
+        crossing HBM is 1 byte/element).
+        """
+        from ..ops.quant import conv2d_int8
+        cin = xq.shape[-1]
+        k = _KernelParam((self.kernel, self.kernel, cin, self.features),
+                         name="conv")()
+        scale, bias = _NormParams(self.features,
+                                  init_scale=self.norm_init_scale,
+                                  name="norm")()
+        w = k * scale  # fold FrozenBN into the kernel (per out channel)
+        pad = ((self.padding, self.padding),) * 2
+        return conv2d_int8(xq, w, bias, strides=(self.stride, self.stride),
+                           padding=pad, relu=relu, sx=sx,
+                           out_scale=out_scale, out_dtype=out_dtype)
+
+
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(kernel=3, stride=2, padding=1) in NHWC."""
     return jax.lax.reduce_window(

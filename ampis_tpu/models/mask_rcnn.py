@@ -140,6 +140,14 @@ class MaskRCNN(nn.Module):
     # "static" (the fast path: calibrated scales, quantize fused into
     # conv epilogues). See docs/performance.md for measurements.
     int8_mask_head: Any = False
+    # Symmetric int8 quantization of the res2-res5 backbone stages at
+    # inference (models.resnet Bottleneck.int8): FrozenBN folds into the
+    # quantized kernels, and the inter-conv/inter-block activations cross
+    # HBM as int8 — the backbone is bandwidth-bound on v5e, so this
+    # halves its dominant cost. Modes mirror int8_mask_head: False |
+    # "calib" (float forward recording per-tensor scales into "quant") |
+    # "static" (the fast path). FrozenBN models only; inference-only.
+    int8_backbone: Any = False
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth,
@@ -155,9 +163,14 @@ class MaskRCNN(nn.Module):
 
     # -- shared stages ------------------------------------------------------
 
-    def backbone(self, images):
-        """(B, H, W, 3) normalized float -> dict of p2..p6 NHWC features."""
-        return self.fpn(self.backbone_net(images.astype(self.dtype)))
+    def backbone(self, images, int8=False):
+        """(B, H, W, 3) normalized float -> dict of p2..p6 NHWC features.
+
+        ``int8`` quantizes res2-res5 (inference only — the training path
+        always passes the default False; see MaskRCNN.int8_backbone).
+        """
+        return self.fpn(self.backbone_net(images.astype(self.dtype),
+                                          int8=int8))
 
     def _anchors(self, feats):
         shapes = [feats[f].shape[1:3] for f in RPN_FEATURES]
@@ -262,7 +275,7 @@ class MaskRCNN(nn.Module):
         the predicted class, valid (B, D).
         """
         b = images.shape[0]
-        feats = self.backbone(images)
+        feats = self.backbone(images, int8=self.int8_backbone)
         logits, deltas = self._rpn(feats)
         anchors = self._anchors(feats)
         proposals, _, prop_valid = self._propose(
@@ -533,6 +546,7 @@ def build_model(cfg) -> MaskRCNN:
                    else False),
         # bool or "calib"/"static"/"dynamic" (see MaskRCNN.int8_mask_head)
         int8_mask_head=getattr(cfg.TPU, "INT8_MASK_HEAD", False),
+        int8_backbone=getattr(cfg.TPU, "INT8_BACKBONE", False),
         mask_capacity_per_image=getattr(
             cfg.TPU, "MASK_CAPACITY_PER_IMAGE", 0) or 0,
     )

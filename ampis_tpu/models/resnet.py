@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Conv, make_norm, max_pool_3x3_s2
+from .layers import Conv, ConvBNInt8, make_norm, max_pool_3x3_s2
 
 BLOCKS_PER_STAGE = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
@@ -47,6 +47,18 @@ def _s2d_stem_conv(x, kernel):
 
 
 class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with FrozenBN/GN.
+
+    ``int8`` (inference-only, FrozenBN models): "calib" runs the float
+    path and records per-tensor activation scales into the "quant"
+    variable collection; "static" runs the whole block as chained int8
+    convs with the norm folded into the quantized kernels
+    (layers.ConvBNInt8) — the tensors crossing HBM between convs and
+    between blocks are int8 (half the bandwidth of bf16; the backbone is
+    bandwidth-bound on v5e). In static mode __call__ takes and returns
+    an (int8 tensor, f32 scale) pair (a bare float input is quantized
+    with the block's calibrated in_scale).
+    """
     out_channels: int
     bottleneck_channels: int
     stride: int = 1
@@ -55,27 +67,76 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, int8=False):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
+        has_sc = ((x[0] if isinstance(x, tuple) else x).shape[-1]
+                  != self.out_channels or self.stride != 1)
+
+        if int8:
+            zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+            in_s = self.variable("quant", "in_scale", zero)
+            c1_s = self.variable("quant", "c1_scale", zero)
+            c2_s = self.variable("quant", "c2_scale", zero)
+            out_s = self.variable("quant", "out_scale", zero)
+
+        if int8 == "static":
+            from ..ops.quant import quantize_static
+            if isinstance(x, tuple):
+                xq, sx = x
+            else:
+                xq, sx = quantize_static(x, in_s.value), in_s.value
+            out = ConvBNInt8(self.bottleneck_channels, kernel=1, stride=s1,
+                             name="conv1")(xq, sx, relu=True,
+                                           out_scale=c1_s.value)
+            out = ConvBNInt8(self.bottleneck_channels, kernel=3, stride=s3,
+                             padding=1, name="conv2")(
+                                 out, c1_s.value, relu=True,
+                                 out_scale=c2_s.value)
+            out = ConvBNInt8(self.out_channels, kernel=1,
+                             norm_init_scale=0.0, name="conv3")(
+                                 out, c2_s.value, relu=False)
+            if has_sc:
+                sc = ConvBNInt8(self.out_channels, kernel=1,
+                                stride=self.stride, name="shortcut")(
+                                    xq, sx, relu=False)
+            else:
+                sc = xq.astype(jnp.float32) * sx
+            y = jnp.maximum(out + sc, 0.0)
+            return quantize_static(y, out_s.value), out_s.value
+
+        if int8 == "calib":
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            in_s.value = jnp.maximum(amax, 1e-12) / 127.0
+
         out = Conv(self.bottleneck_channels, kernel=1, stride=s1, padding=0,
                    use_bias=False, norm=True, norm_type=self.norm_type,
                    activation=nn.relu,
                    dtype=self.dtype, name="conv1")(x)
+        if int8 == "calib":
+            amax = jnp.max(jnp.abs(out.astype(jnp.float32)))
+            c1_s.value = jnp.maximum(amax, 1e-12) / 127.0
         out = Conv(self.bottleneck_channels, kernel=3, stride=s3, padding=1,
                    use_bias=False, norm=True, norm_type=self.norm_type,
                    activation=nn.relu,
                    dtype=self.dtype, name="conv2")(out)
+        if int8 == "calib":
+            amax = jnp.max(jnp.abs(out.astype(jnp.float32)))
+            c2_s.value = jnp.maximum(amax, 1e-12) / 127.0
         out = Conv(self.out_channels, kernel=1, stride=1, padding=0,
                    use_bias=False, norm=True, norm_type=self.norm_type,
                    norm_init_scale=0.0,
                    dtype=self.dtype, name="conv3")(out)
-        if x.shape[-1] != self.out_channels or self.stride != 1:
+        if has_sc:
             x = Conv(self.out_channels, kernel=1, stride=self.stride,
                      padding=0, use_bias=False, norm=True,
                      norm_type=self.norm_type, dtype=self.dtype,
                      name="shortcut")(x)
-        return nn.relu(out + x)
+        y = nn.relu(out + x)
+        if int8 == "calib":
+            amax = jnp.max(jnp.abs(y.astype(jnp.float32)))
+            out_s.value = jnp.maximum(amax, 1e-12) / 127.0
+        return y
 
 
 class _ConvKernel(nn.Module):
@@ -152,7 +213,12 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, int8=False):
+        """``int8``: False | "calib" | "static" — int8 inference for
+        res2-res5 (see Bottleneck). Call-level (not a field) so the
+        training path never sees it. The stem stays bf16 (C_in=3 —
+        quantizing the raw image buys nothing and costs input
+        precision)."""
         x = x.astype(self.dtype)
         x = Stem(self.stem_channels, norm_type=self.norm_type,
                  dtype=self.dtype, name="stem")(x)
@@ -168,9 +234,14 @@ class ResNet(nn.Module):
                                stride=stride if b == 0 else 1,
                                stride_in_1x1=self.stride_in_1x1,
                                norm_type=self.norm_type,
-                               dtype=self.dtype, name=f"{name}.{b}")(x)
+                               dtype=self.dtype,
+                               name=f"{name}.{b}")(x, int8=int8)
             if name in self.out_features:
-                outputs[name] = x
+                if isinstance(x, tuple):  # static int8: dequant for FPN
+                    outputs[name] = (x[0].astype(jnp.float32)
+                                     * x[1]).astype(self.dtype)
+                else:
+                    outputs[name] = x
             out_ch *= 2
             bott_ch *= 2
         return outputs

@@ -58,6 +58,16 @@ def main():
     int8_env = os.environ.get("BENCH_INT8", "static")
     kw = {"int8_mask_head": ("static" if int8_env == "static"
                              else bool(int(int8_env)))}
+    # BENCH_INT8_BB=1: also quantize the res2-res5 backbone stages
+    # (cfg.TPU.INT8_BACKBONE="static"; requires BENCH_INT8=static)
+    if int(os.environ.get("BENCH_INT8_BB", "0")):
+        kw["int8_backbone"] = "static"
+    # BENCH_MASK_CAP: mask-stage capacity per image (see
+    # cfg.TPU.MASK_CAPACITY_PER_IMAGE) — identical outputs unless the
+    # batch overflows, which the run reports on stderr. 0 = exact path.
+    mask_cap = int(os.environ.get("BENCH_MASK_CAP", "0"))
+    if mask_cap:
+        kw["mask_capacity_per_image"] = mask_cap
     model = MaskRCNN(num_classes=1, detections_per_image=400,
                      dtype=jnp.bfloat16, **kw)
     params = init_params(model, jax.random.PRNGKey(0))
@@ -140,6 +150,8 @@ def main():
         import flax
         cache_path = Path(__file__).parent / "bench_quant_scales.json"
         key = str(ckpt or "random-init")
+        if kw.get("int8_backbone"):
+            key += "+bb"
         cached = {}
         if cache_path.exists():
             cached = json.loads(cache_path.read_text())
@@ -149,9 +161,11 @@ def main():
             quant = flax.traverse_util.unflatten_dict(flat)
             print(f"# int8 scales: cached ({key})", file=sys.stderr)
         else:
+            calib_kw = dict(kw, int8_mask_head="calib")
+            if kw.get("int8_backbone"):
+                calib_kw["int8_backbone"] = "calib"
             calib_model = MaskRCNN(num_classes=1, detections_per_image=400,
-                                   dtype=jnp.bfloat16,
-                                   int8_mask_head="calib")
+                                   dtype=jnp.bfloat16, **calib_kw)
 
             @jax.jit
             def calib(params, images):
@@ -179,6 +193,11 @@ def main():
     out = run(params, images_dev)
     sync(out)
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    if mask_cap:
+        n_valid = int(_np.asarray(out["valid"]).sum())
+        n_drop = int(_np.asarray(out["mask_dropped"]))
+        print(f"# mask capacity {mask_cap}/img: {n_valid} valid dets in "
+              f"batch, {n_drop} dropped", file=sys.stderr)
     for _ in range(WARMUP):
         out = run(params, images_dev)
     sync(out)

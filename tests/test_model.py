@@ -450,3 +450,39 @@ def test_mask_capacity_compaction_matches_exact_path():
         out_o = model_o.apply(params, images, sizes,
                               method=MaskRCNN.inference)
         assert int(out_o["mask_dropped"]) == total_valid - 2
+
+
+def test_int8_backbone_calib_static_roundtrip():
+    """Backbone int8: calib records scales; static int8 forward stays
+    within quantization error of the float path; param tree unchanged."""
+    from ampis_tpu.models.resnet import ResNet
+    net = ResNet(depth=50)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(1, 64, 64, 3) * 2 - 1, jnp.float32)
+    p = net.init(jax.random.PRNGKey(0), x)
+    p8 = net.init(jax.random.PRNGKey(0), x, int8="static")
+    assert (jax.tree_util.tree_structure(p8["params"])
+            == jax.tree_util.tree_structure(p["params"]))
+    assert len(jax.tree.leaves(p8["quant"])) == 64  # 16 blocks x 4 scales
+
+    # non-trivial FrozenBN affines so the kernel folding is exercised
+    def perturb(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: perturb(v, path + (k,)) for k, v in tree.items()}
+        if "norm" in path and path[-1] == "scale":
+            return tree + 0.5 * np.abs(
+                rs.rand(*tree.shape)).astype(np.float32)
+        if "norm" in path and path[-1] == "bias":
+            return tree + 0.1 * rs.randn(*tree.shape).astype(np.float32)
+        return tree
+
+    params = {"params": perturb(p["params"])}
+    ref = net.apply(params, x)
+    _, mut = net.apply(params, x, int8="calib", mutable=["quant"])
+    assert all(float(s) > 0 for s in jax.tree.leaves(mut["quant"]))
+    out = net.apply({**params, "quant": mut["quant"]}, x, int8="static")
+    for k in ("res2", "res3", "res4", "res5"):
+        r = np.asarray(ref[k], np.float32)
+        o = np.asarray(out[k], np.float32)
+        err = np.abs(r - o).max() / max(np.abs(r).max(), 1e-6)
+        assert err < 0.15, (k, err)
