@@ -277,6 +277,10 @@ def get_cfg() -> CfgNode:
     # FrozenBN models only. Check mask AP on your dataset before
     # enabling (docs/performance.md).
     c.TPU.INT8_BACKBONE = False
+    # int8 for the FPN lateral/output convs + RPN head (same modes; with
+    # INT8_BACKBONE the laterals consume the backbone's int8 outputs
+    # directly).
+    c.TPU.INT8_NECK = False
     # inference mask-stage capacity per image (models.mask_rcnn
     # MaskRCNN.mask_capacity_per_image): > 0 pools + mask-heads only the
     # batch's top-(B*capacity) detection slots instead of all

@@ -50,7 +50,8 @@ class DefaultPredictor:
         quant = (self.params.get("quant")
                  if isinstance(self.params, dict) else None)
         statics = {
-            k: "calib" for k in ("int8_mask_head", "int8_backbone")
+            k: "calib"
+            for k in ("int8_mask_head", "int8_backbone", "int8_neck")
             if getattr(self.model, k, False) == "static"}
         self._needs_calib = bool(statics) and (
             quant is None

@@ -142,6 +142,43 @@ class _NormParams(nn.Module):
         return scale, bias
 
 
+class _ConvBiasParams(nn.Module):
+    """Bare conv {kernel, bias} params matching nn.Conv's names/inits."""
+    shape: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       tuple(self.shape), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                       jnp.float32)
+        return k, b
+
+
+class ConvInt8(nn.Module):
+    """conv + bias computed as one int8 conv (no norm).
+
+    Param tree is identical to ``Conv(..., use_bias=True, norm=False)``
+    (conv/{kernel, bias} under this module's name). Inference-only.
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, xq, sx, *, relu=False, out_scale=None,
+                 out_dtype=jnp.float32):
+        from ..ops.quant import conv2d_int8
+        cin = xq.shape[-1]
+        k, b = _ConvBiasParams(
+            (self.kernel, self.kernel, cin, self.features), name="conv")()
+        pad = ((self.padding, self.padding),) * 2
+        return conv2d_int8(xq, k, b, strides=(self.stride, self.stride),
+                           padding=pad, relu=relu, sx=sx,
+                           out_scale=out_scale, out_dtype=out_dtype)
+
+
 class ConvBNInt8(nn.Module):
     """conv + FrozenBN computed as one int8 conv with the norm folded in.
 

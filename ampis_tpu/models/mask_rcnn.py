@@ -148,6 +148,11 @@ class MaskRCNN(nn.Module):
     # "calib" (float forward recording per-tensor scales into "quant") |
     # "static" (the fast path). FrozenBN models only; inference-only.
     int8_backbone: Any = False
+    # int8 for the FPN lateral/output convs and the RPN head at inference
+    # (same modes). With int8_backbone also "static", the FPN laterals
+    # consume the backbone's int8 outputs directly and the res2-res5
+    # feature maps never materialize in bf16.
+    int8_neck: Any = False
 
     def setup(self):
         self.backbone_net = ResNet(depth=self.depth,
@@ -163,14 +168,17 @@ class MaskRCNN(nn.Module):
 
     # -- shared stages ------------------------------------------------------
 
-    def backbone(self, images, int8=False):
+    def backbone(self, images, int8=False, int8_neck=False):
         """(B, H, W, 3) normalized float -> dict of p2..p6 NHWC features.
 
-        ``int8`` quantizes res2-res5 (inference only — the training path
-        always passes the default False; see MaskRCNN.int8_backbone).
+        ``int8``/``int8_neck`` quantize res2-res5 / FPN (inference only —
+        the training path always passes the defaults; see
+        MaskRCNN.int8_backbone / int8_neck).
         """
-        return self.fpn(self.backbone_net(images.astype(self.dtype),
-                                          int8=int8))
+        chain = int8 == "static" and int8_neck == "static"
+        feats = self.backbone_net(images.astype(self.dtype), int8=int8,
+                                  int8_outputs=chain)
+        return self.fpn(feats, int8=int8_neck)
 
     def _anchors(self, feats):
         shapes = [feats[f].shape[1:3] for f in RPN_FEATURES]
@@ -178,8 +186,9 @@ class MaskRCNN(nn.Module):
         return [jnp.asarray(a) for a in multilevel_anchors(
             shapes, strides, self.anchor_sizes, self.anchor_ratios)]
 
-    def _rpn(self, feats):
-        logits, deltas = self.rpn_head([feats[f] for f in RPN_FEATURES])
+    def _rpn(self, feats, int8=False):
+        logits, deltas = self.rpn_head([feats[f] for f in RPN_FEATURES],
+                                       int8=int8)
         return logits, deltas
 
     def _propose(self, logits, deltas, anchors, image_sizes, train: bool):
@@ -275,8 +284,9 @@ class MaskRCNN(nn.Module):
         the predicted class, valid (B, D).
         """
         b = images.shape[0]
-        feats = self.backbone(images, int8=self.int8_backbone)
-        logits, deltas = self._rpn(feats)
+        feats = self.backbone(images, int8=self.int8_backbone,
+                              int8_neck=self.int8_neck)
+        logits, deltas = self._rpn(feats, int8=self.int8_neck)
         anchors = self._anchors(feats)
         proposals, _, prop_valid = self._propose(
             logits, deltas, anchors, image_sizes, train=False)
@@ -547,6 +557,7 @@ def build_model(cfg) -> MaskRCNN:
         # bool or "calib"/"static"/"dynamic" (see MaskRCNN.int8_mask_head)
         int8_mask_head=getattr(cfg.TPU, "INT8_MASK_HEAD", False),
         int8_backbone=getattr(cfg.TPU, "INT8_BACKBONE", False),
+        int8_neck=getattr(cfg.TPU, "INT8_NECK", False),
         mask_capacity_per_image=getattr(
             cfg.TPU, "MASK_CAPACITY_PER_IMAGE", 0) or 0,
     )

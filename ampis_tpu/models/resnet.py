@@ -213,12 +213,13 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, int8=False):
+    def __call__(self, x, int8=False, int8_outputs=False):
         """``int8``: False | "calib" | "static" — int8 inference for
         res2-res5 (see Bottleneck). Call-level (not a field) so the
         training path never sees it. The stem stays bf16 (C_in=3 —
         quantizing the raw image buys nothing and costs input
-        precision)."""
+        precision). ``int8_outputs``: return (int8, scale) pairs for the
+        out_features instead of dequantizing (for an int8 FPN)."""
         x = x.astype(self.dtype)
         x = Stem(self.stem_channels, norm_type=self.norm_type,
                  dtype=self.dtype, name="stem")(x)
@@ -237,7 +238,8 @@ class ResNet(nn.Module):
                                dtype=self.dtype,
                                name=f"{name}.{b}")(x, int8=int8)
             if name in self.out_features:
-                if isinstance(x, tuple):  # static int8: dequant for FPN
+                if isinstance(x, tuple) and not int8_outputs:
+                    # static int8: dequantize for a float FPN
                     outputs[name] = (x[0].astype(jnp.float32)
                                      * x[1]).astype(self.dtype)
                 else:

@@ -54,23 +54,65 @@ class RPNHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features: Sequence[jnp.ndarray]):
-        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+    def __call__(self, features: Sequence[jnp.ndarray], int8=False):
+        """``int8`` (inference-only; mirrors models.resnet Bottleneck):
+        "calib" records one activation scale per level for the shared 3x3
+        conv input and the relu'd head activation; "static" runs both the
+        3x3 conv and the fused sibling 1x1s as int8."""
         a = self.num_anchors
         obj_k, obj_b = _ConvParams(a, self.channels,
                                    name="objectness_logits")()
         del_k, del_b = _ConvParams(a * 4, self.channels,
                                    name="anchor_deltas")()
-        w = jnp.concatenate([obj_k, del_k], -1).astype(self.dtype)
-        bias = jnp.concatenate([obj_b, del_b]).astype(self.dtype)
+        w = jnp.concatenate([obj_k, del_k], -1)
+        bias = jnp.concatenate([obj_b, del_b])
+
+        if int8:
+            zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+            in_s = [self.variable("quant", f"in_scale{i}", zero)
+                    for i in range(len(features))]
+            mid_s = [self.variable("quant", f"mid_scale{i}", zero)
+                     for i in range(len(features))]
+
+        if int8 == "static":
+            from ..ops.quant import conv2d_int8, quantize_static
+            from .layers import _ConvBiasParams
+            ck, cb = _ConvBiasParams(
+                (3, 3, features[0].shape[-1], self.channels),
+                name="conv")()
+            logits_out, deltas_out = [], []
+            for i, f in enumerate(features):
+                xq = quantize_static(f, in_s[i].value)
+                t8 = conv2d_int8(xq, ck, cb,
+                                 padding=((1, 1), (1, 1)), relu=True,
+                                 sx=in_s[i].value,
+                                 out_scale=mid_s[i].value)
+                y = conv2d_int8(t8, w, bias, padding=((0, 0), (0, 0)),
+                                relu=False, sx=mid_s[i].value,
+                                out_dtype=jnp.float32)
+                b, h, w_, _ = y.shape
+                logits_out.append(y[..., :a].reshape(b, -1))
+                deltas_out.append(y[..., a:])
+            return logits_out, deltas_out
+
+        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv")
+        wd = w.astype(self.dtype)
+        biasd = bias.astype(self.dtype)
         logits_out, deltas_out = [], []
-        for f in features:
+        for i, f in enumerate(features):
+            if int8 == "calib":
+                amax = jnp.max(jnp.abs(f.astype(jnp.float32)))
+                in_s[i].value = jnp.maximum(amax, 1e-12) / 127.0
             t = nn.relu(conv(f))
+            if int8 == "calib":
+                amax = jnp.max(jnp.abs(t.astype(jnp.float32)))
+                mid_s[i].value = jnp.maximum(amax, 1e-12) / 127.0
             b, h, w_, _ = t.shape
             y = jax.lax.conv_general_dilated(
-                t, w, window_strides=(1, 1), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                t, wd, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + biasd
             # NHWC conv output order (y, x, a) matches anchor grid order.
             # Deltas stay 4D (B, H, W, A*4): flattening them here would
             # relayout the whole tensor; proposal selection instead

@@ -59,9 +59,12 @@ def main():
     kw = {"int8_mask_head": ("static" if int8_env == "static"
                              else bool(int(int8_env)))}
     # BENCH_INT8_BB=1: also quantize the res2-res5 backbone stages
-    # (cfg.TPU.INT8_BACKBONE="static"; requires BENCH_INT8=static)
+    # (cfg.TPU.INT8_BACKBONE="static"; requires BENCH_INT8=static).
+    # BENCH_INT8_NECK=1: same for the FPN + RPN head.
     if int(os.environ.get("BENCH_INT8_BB", "0")):
         kw["int8_backbone"] = "static"
+    if int(os.environ.get("BENCH_INT8_NECK", "0")):
+        kw["int8_neck"] = "static"
     # BENCH_MASK_CAP: mask-stage capacity per image (see
     # cfg.TPU.MASK_CAPACITY_PER_IMAGE) — identical outputs unless the
     # batch overflows, which the run reports on stderr. 0 = exact path.
@@ -152,6 +155,8 @@ def main():
         key = str(ckpt or "random-init")
         if kw.get("int8_backbone"):
             key += "+bb"
+        if kw.get("int8_neck"):
+            key += "+neck"
         cached = {}
         if cache_path.exists():
             cached = json.loads(cache_path.read_text())
@@ -162,8 +167,9 @@ def main():
             print(f"# int8 scales: cached ({key})", file=sys.stderr)
         else:
             calib_kw = dict(kw, int8_mask_head="calib")
-            if kw.get("int8_backbone"):
-                calib_kw["int8_backbone"] = "calib"
+            for m in ("int8_backbone", "int8_neck"):
+                if kw.get(m):
+                    calib_kw[m] = "calib"
             calib_model = MaskRCNN(num_classes=1, detections_per_image=400,
                                    dtype=jnp.bfloat16, **calib_kw)
 

@@ -486,3 +486,41 @@ def test_int8_backbone_calib_static_roundtrip():
         o = np.asarray(out[k], np.float32)
         err = np.abs(r - o).max() / max(np.abs(r).max(), 1e-6)
         assert err < 0.15, (k, err)
+
+
+def test_int8_neck_calib_static_roundtrip():
+    """FPN + RPN head int8: param trees unchanged; static output within
+    quantization error of float."""
+    from ampis_tpu.models.fpn import FPN
+    rs = np.random.RandomState(1)
+    feats = {f"res{i + 2}": jnp.asarray(
+        rs.rand(1, 16 // (1 << i), 16 // (1 << i), 64 * (1 << i)) - 0.3,
+        jnp.float32) for i in range(4)}
+    fpn = FPN()
+    p = fpn.init(jax.random.PRNGKey(0), feats)
+    p8 = fpn.init(jax.random.PRNGKey(0), feats, int8="static")
+    assert (jax.tree_util.tree_structure(p8["params"])
+            == jax.tree_util.tree_structure(p["params"]))
+    ref = fpn.apply(p, feats)
+    _, mut = fpn.apply(p, feats, int8="calib", mutable=["quant"])
+    out = fpn.apply({**p, "quant": mut["quant"]}, feats, int8="static")
+    for k in ref:
+        r, o = np.asarray(ref[k], np.float32), np.asarray(out[k], np.float32)
+        err = np.abs(r - o).max() / max(np.abs(r).max(), 1e-6)
+        assert err < 0.1, (k, err)
+
+    levels = [jnp.asarray(rs.rand(1, 8, 8, 256) - 0.3, jnp.float32)
+              for _ in range(5)]
+    head = rpn.RPNHead(num_anchors=3)
+    hp = head.init(jax.random.PRNGKey(1), levels)
+    hp8 = head.init(jax.random.PRNGKey(1), levels, int8="static")
+    assert (jax.tree_util.tree_structure(hp8["params"])
+            == jax.tree_util.tree_structure(hp["params"]))
+    lg, dl = head.apply(hp, levels)
+    _, hmut = head.apply(hp, levels, int8="calib", mutable=["quant"])
+    lg8, dl8 = head.apply({**hp, "quant": hmut["quant"]}, levels,
+                          int8="static")
+    for a, b in zip(lg + dl, lg8 + dl8):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert err < 0.1, err
