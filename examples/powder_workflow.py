@@ -66,6 +66,13 @@ def main():
                     help="int8 mask-head mode at inference "
                          "(cfg.TPU.INT8_MASK_HEAD; 'static' auto-"
                          "calibrates on the first predicted batch)")
+    ap.add_argument("--int8-backbone", action="store_true",
+                    help="also quantize res2-res5 at inference "
+                         "(cfg.TPU.INT8_BACKBONE='static'; FrozenBN "
+                         "checkpoints only)")
+    ap.add_argument("--int8-neck", action="store_true",
+                    help="also quantize the FPN + RPN head at inference "
+                         "(cfg.TPU.INT8_NECK='static')")
     ap.add_argument("--standardize", default="auto",
                     choices=("auto", "on", "off"),
                     help="set PIXEL_MEAN/PIXEL_STD to the training set's "
@@ -103,6 +110,12 @@ def main():
                          "brightness/contrast in [1-x, 1+x] per image "
                          "(cfg.INPUT.RANDOM_BRIGHTNESS/RANDOM_CONTRAST, "
                          "in-graph; detectron2 transform semantics)")
+    ap.add_argument("--min-sizes", default=None,
+                    help="comma-separated train scale-jitter targets "
+                         "(cfg.INPUT.MIN_SIZE_TRAIN; default 640..800 — "
+                         "widen downward, e.g. 480,560,640,704,768,800, "
+                         "for stronger scale augmentation; each distinct "
+                         "size compiles one train program)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -128,10 +141,17 @@ def main():
         cfg.TEST.DETECTIONS_PER_IMAGE = detections
         if args.int8 != "off":
             cfg.TPU.INT8_MASK_HEAD = args.int8
+        if args.int8_backbone:
+            cfg.TPU.INT8_BACKBONE = "static"
+        if args.int8_neck:
+            cfg.TPU.INT8_NECK = "static"
         cfg.DATASETS.TRAIN = (names[(thing, "training")],)
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
         if args.flip:
             cfg.INPUT.RANDOM_FLIP = args.flip
+        if args.min_sizes:
+            cfg.INPUT.MIN_SIZE_TRAIN = tuple(
+                int(s) for s in args.min_sizes.split(","))
         if args.jitter:
             cfg.INPUT.RANDOM_BRIGHTNESS = (1 - args.jitter, 1 + args.jitter)
             cfg.INPUT.RANDOM_CONTRAST = (1 - args.jitter, 1 + args.jitter)
