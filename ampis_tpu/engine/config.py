@@ -217,6 +217,15 @@ def get_cfg() -> CfgNode:
     # from-scratch training where augmentation matters most.
     c.INPUT.RANDOM_BRIGHTNESS = (1.0, 1.0)
     c.INPUT.RANDOM_CONTRAST = (1.0, 1.0)
+    # Rotation train augmentation: a tuple of angles in degrees, one drawn
+    # uniformly per sample (include 0 to keep unrotated variants), e.g.
+    # (0, -30, 30). Applied host-side in the RAW frame (image via PIL
+    # bilinear, polygon/RLE annotations analytically) with the frame kept
+    # fixed (corners clip, detectron2 RandomRotation expand=False
+    # semantics). Off by default (the reference never rotates). SEM
+    # micrographs are orientation-free — recommended for from-scratch
+    # training. Each angle multiplies the device sample-cache variants.
+    c.INPUT.RANDOM_ROTATION = ()
     c.INPUT.MASK_FORMAT = "polygon"
     c.INPUT.FORMAT = "BGR"
     # TPU-specific: fixed padded canvas (h, w) for static shapes under jit;

@@ -60,6 +60,12 @@ class DetectionLoader:
         self.flip_h = mode in ("horizontal", "both")
         self.flip_v = mode in ("vertical", "both")
         self.flip = self.flip_h or self.flip_v
+        # rotation augmentation: per-sample angle drawn uniformly from
+        # cfg.INPUT.RANDOM_ROTATION (degrees; () = off). Encoded in the
+        # same per-sample augmentation code as the flips (bits 2+), so
+        # the device cache keys variants without new plumbing.
+        self.angles = (list(getattr(cfg.INPUT, "RANDOM_ROTATION", ()) or ())
+                       if train else [])
 
         # static shapes: ONE raw canvas per dataset (max H x W over the
         # ddicts; images with smaller raw sizes are placed top-left with
@@ -153,6 +159,69 @@ class DetectionLoader:
             crop = RLE.decode(merged)
         return crop, (iy0, ix0)
 
+    @staticmethod
+    def _rotate_point_matrix(angle_deg):
+        """Input->output point map of PIL Image.rotate(angle) (CCW on
+        screen, y-down): p_out = R @ (p_in - c) + c."""
+        a = np.radians(angle_deg)
+        return np.asarray([[np.cos(a), np.sin(a)],
+                           [-np.sin(a), np.cos(a)]], np.float64)
+
+    def _rotate_sample(self, img, annos, angle):
+        """Rotate image + annotations in the raw frame (fixed extent).
+
+        detectron2 RandomRotation expand=False semantics: the frame stays
+        (h0, w0), corners clip, fill is black. Polygons rotate
+        analytically around the raw center; RLE segmentations rotate as
+        dense masks (PIL nearest). Annotations whose rotated extent
+        leaves the frame (or degenerates under 2 px) are dropped.
+        """
+        from PIL import Image
+        h0, w0 = self.raw_shape
+        img = np.asarray(Image.fromarray(img).rotate(
+            angle, resample=Image.BILINEAR))
+        # PIL rotates about the pixel-index center ((w-1)/2, (h-1)/2),
+        # which in COCO polygon coordinates (pixel centers at
+        # half-integers) is exactly (w/2, h/2).
+        c = np.asarray([w0 / 2.0, h0 / 2.0])
+        rot = self._rotate_point_matrix(angle)
+        out = []
+        for a in annos:
+            seg = a["segmentation"]
+            if isinstance(seg, dict):
+                dense = RLE.decode(seg)
+                if dense.shape != (h0, w0):  # pad like the image (top-left)
+                    padded = np.zeros((h0, w0), dense.dtype)
+                    padded[:dense.shape[0], :dense.shape[1]] = dense
+                    dense = padded
+                m = np.asarray(Image.fromarray(dense * np.uint8(255)).rotate(
+                    angle, resample=Image.NEAREST)) > 127
+                ys, xs = np.nonzero(m)
+                if ys.size < 4:
+                    continue
+                bbox = [float(xs.min()), float(ys.min()),
+                        float(xs.max() + 1), float(ys.max() + 1)]
+                seg_t = RLE.encode(np.asfortranarray(m.astype(np.uint8)))
+            else:
+                polys, ext = [], []
+                for p in seg:
+                    p = np.asarray(p, np.float64).reshape(-1, 2)
+                    q = (p - c) @ rot.T + c
+                    polys.append(q.reshape(-1))
+                    ext.append(q)
+                pts = np.concatenate(ext, axis=0)
+                x0 = max(float(pts[:, 0].min()), 0.0)
+                y0 = max(float(pts[:, 1].min()), 0.0)
+                x1 = min(float(pts[:, 0].max()), float(w0))
+                y1 = min(float(pts[:, 1].max()), float(h0))
+                if x1 - x0 < 2 or y1 - y0 < 2:
+                    continue
+                bbox = [x0, y0, x1, y1]
+                seg_t = [q.tolist() for q in polys]
+            out.append({**a, "segmentation": seg_t, "bbox": bbox,
+                        "bbox_mode": BoxMode.XYXY_ABS})
+        return img, out
+
     def _load_one(self, ddict, min_size, flip=False):
         img = imread_bgr(ddict["file_name"])
         if img.shape[:2] != self.raw_shape:
@@ -165,6 +234,11 @@ class DetectionLoader:
         sx = new_shape[1] / w0
 
         annos = ddict.get("annotations", [])
+        angle_idx = int(flip) >> 2
+        if self.angles and angle_idx < len(self.angles) \
+                and self.angles[angle_idx]:
+            img, annos = self._rotate_sample(img, annos,
+                                             self.angles[angle_idx])
         g = self.max_gt
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
@@ -237,16 +311,18 @@ class DetectionLoader:
         return arrays, ns
 
     def draw_flips(self, n):
-        """n per-sample flip codes (bit 0 = h, bit 1 = v) from the
-        loader's RNG stream; each enabled axis is an independent 0.5
-        draw (detectron2 RandomFlip semantics)."""
-        if not self.flip:
-            return [0] * n
+        """n per-sample augmentation codes from the loader's RNG stream:
+        bit 0 = h flip, bit 1 = v flip (independent 0.5 draws, detectron2
+        RandomFlip semantics), bits 2+ = rotation index into
+        cfg.INPUT.RANDOM_ROTATION (uniform draw)."""
         codes = np.zeros(n, np.int64)
         if self.flip_h:
             codes |= (self.rng.rand(n) < 0.5).astype(np.int64)
         if self.flip_v:
             codes |= (self.rng.rand(n) < 0.5).astype(np.int64) << 1
+        if self.angles:
+            codes |= self.rng.randint(len(self.angles),
+                                      size=n).astype(np.int64) << 2
         return [int(c) for c in codes]
 
     def _make_batch(self, indices, min_size, flips=None):

@@ -203,6 +203,132 @@ def test_both_flip_cache_equivalence(ddicts):
     assert batcher.n_cached <= 3 * 2 * 4  # img x min_size x flip states
 
 
+@pytest.fixture(scope="module")
+def rot_ddicts(tmp_path_factory):
+    """Square 64x64 images whose bright rectangle IS the instance, once as
+    a polygon annotation and once as RLE — for rotation registration."""
+    tmp = tmp_path_factory.mktemp("rot")
+    out = []
+    m = np.zeros((64, 64), np.uint8)
+    m[18:34, 24:46] = 1
+    img = m * 200
+    poly = [[24.0, 18.0, 46.0, 18.0, 46.0, 34.0, 24.0, 34.0]]
+    rle = RLE.encode(np.asfortranarray(m))
+    for i, seg in enumerate([poly, rle]):
+        p = str(tmp / f"rot{i}.png")
+        Image.fromarray(img).save(p)
+        out.append({"file_name": p, "height": 64, "width": 64,
+                    "mask_format": "polygon" if i == 0 else "bitmask",
+                    "image_id": i, "num_instances": 1,
+                    "annotations": [{
+                        "bbox": np.array([24, 18, 46, 34], np.float64),
+                        "bbox_mode": BoxMode.XYXY_ABS,
+                        "segmentation": seg, "category_id": 0}]})
+    return out
+
+
+def _rot_cfg(angles=(0, 30, -30)):
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.RANDOM_ROTATION = angles
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TPU.MASK_CANVAS = 0
+    return cfg
+
+
+def _iou(a, b):
+    a, b = a.astype(bool), b.astype(bool)
+    return (a & b).sum() / max((a | b).sum(), 1)
+
+
+def test_rotation_gt_registered_with_image(rot_ddicts):
+    """Rotated GT masks/boxes stay registered with the rotated pixels:
+    the instance in rot_ddicts is exactly the bright image region, so at
+    scale 1 the GT mask must overlap the rotated bright pixels, for both
+    polygon (analytic rotation) and RLE (dense rotation) annotations."""
+    loader = DetectionLoader(rot_ddicts, _rot_cfg(), train=True, seed=0)
+    for idx in (0, 1):  # polygon, RLE
+        base, ns = loader.sample(idx, 64, 0)   # angle index 0 = 0 deg
+        assert _iou(base["gt_masks"][0, :ns[0], :ns[1]],
+                    base["images"][..., 0] > 100) > 0.97
+        for code in (1 << 2, 2 << 2):          # +30, -30 deg
+            s, ns = loader.sample(idx, 64, code)
+            assert s["gt_valid"][0]
+            bright = s["images"][..., 0] > 100
+            gt = s["gt_masks"][0, :ns[0], :ns[1]]
+            assert _iou(gt, bright) > 0.9, (idx, code)
+            # box bounds the mask (with 2 px rasterization slack)
+            ys, xs = np.nonzero(gt)
+            x0, y0, x1, y1 = s["gt_boxes"][0]
+            assert x0 - 2 <= xs.min() and xs.max() <= x1 + 2
+            assert y0 - 2 <= ys.min() and ys.max() <= y1 + 2
+
+
+def test_rotation_polygon_rle_agree(rot_ddicts):
+    """The same instance rotates to (nearly) the same GT whether it is
+    annotated as a polygon or as RLE."""
+    loader = DetectionLoader(rot_ddicts, _rot_cfg(), train=True, seed=0)
+    for code in (1 << 2, 2 << 2):
+        a, ns = loader.sample(0, 64, code)
+        b, _ = loader.sample(1, 64, code)
+        assert _iou(a["gt_masks"][0, :ns[0], :ns[1]],
+                    b["gt_masks"][0, :ns[0], :ns[1]]) > 0.85
+
+
+def test_rotation_with_flip_composes(rot_ddicts):
+    """Flip bits compose with rotation bits: rotate first, flip after."""
+    loader = DetectionLoader(rot_ddicts, _rot_cfg(), train=True, seed=0)
+    loader.flip_h = loader.flip_v = loader.flip = True
+    rot, ns = loader.sample(0, 64, 1 << 2)          # +30, no flip
+    both, _ = loader.sample(0, 64, (1 << 2) | 3)    # +30, h+v flip
+    np.testing.assert_array_equal(both["images"],
+                                  rot["images"][::-1, ::-1])
+    np.testing.assert_array_equal(
+        both["gt_masks"][0, :ns[0], :ns[1]],
+        rot["gt_masks"][0, :ns[0], :ns[1]][::-1, ::-1])
+
+
+def test_rotation_cache_equivalence(rot_ddicts):
+    """cached == streaming with rotation on; variant space bounded by
+    images x min_sizes x flips x angles."""
+    cfg = _rot_cfg()
+    cfg.INPUT.RANDOM_FLIP = "both"
+    stream = DetectionLoader(rot_ddicts, cfg, train=True, seed=4)
+    batcher = DeviceBatcher(DetectionLoader(rot_ddicts, cfg, train=True,
+                                            seed=4))
+    it_s, it_c = stream.infinite(prefetch=0), batcher.infinite()
+    for _ in range(10):
+        bs, bc = next(it_s), next(it_c)
+        for k in ("images", "gt_boxes", "gt_classes", "gt_valid",
+                  "gt_masks"):
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+    assert batcher.n_cached <= 2 * 1 * 4 * 3
+
+
+def test_rotation_drops_out_of_frame(tmp_path):
+    """An instance in a far corner rotates out of the frame and is
+    dropped rather than kept with a degenerate box."""
+    img = np.zeros((64, 64), np.uint8)
+    p = str(tmp_path / "corner.png")
+    Image.fromarray(img).save(p)
+    dd = [{"file_name": p, "height": 64, "width": 64,
+           "mask_format": "polygon", "image_id": 0, "num_instances": 1,
+           "annotations": [{
+               "bbox": np.array([60, 0, 64, 4], np.float64),
+               "bbox_mode": BoxMode.XYXY_ABS,
+               "segmentation": [[60.0, 0.0, 64.0, 0.0, 64.0, 4.0,
+                                 60.0, 4.0]],
+               "category_id": 0}]}]
+    loader = DetectionLoader(dd, _rot_cfg(angles=(0, 45)), train=True,
+                             seed=0)
+    s0, _ = loader.sample(0, 64, 0)
+    assert s0["gt_valid"][0]
+    s45, _ = loader.sample(0, 64, 1 << 2)
+    assert not s45["gt_valid"].any()
+
+
 def test_flip_dense_mask_path(ddicts):
     """Dense (MASK_CANVAS=0) GT masks flip with the image."""
     cfg = _cfg()
