@@ -217,7 +217,9 @@ def load_weights(path, model=None, reference_params=None):
         return load_d2_pkl(path, reference_params=reference_params)
     restored = restore_checkpoint(path)
     if isinstance(restored, dict) and "params" in restored:
-        # trainer checkpoint: strip optimizer state / step
-        return {"params": restored["params"]["params"]
-                if "params" in restored["params"] else restored["params"]}
+        # trainer checkpoint: strip optimizer state / step. EMA shadow
+        # weights (SOLVER.EMA_DECAY), when present, are the inference
+        # weights of record — prefer them over the raw final iterate.
+        tree = restored.get("ema_params") or restored["params"]
+        return {"params": tree["params"] if "params" in tree else tree}
     return {"params": restored}

@@ -256,6 +256,15 @@ def get_cfg() -> CfgNode:
     c.SOLVER.CLIP_GRADIENTS = CfgNode(
         {"ENABLED": False, "CLIP_TYPE": "value", "CLIP_VALUE": 1.0,
          "NORM_TYPE": 2.0})
+    # Exponential moving average of the weights (0 = off). When set (e.g.
+    # 0.999), the trainer maintains EMA shadow params updated in the jitted
+    # train step with TF-style warmup d_t = min(EMA_DECAY, (1+t)/(10+t)),
+    # checkpoints them alongside the raw params, and checkpoint loading for
+    # inference prefers them (engine.checkpoint.load_weights). The raw
+    # params keep driving the optimization and the validation-loss hook.
+    # Not a detectron2 knob — an own-framework option for from-scratch
+    # few-shot training, where late-iterate averaging is a cheap AP gain.
+    c.SOLVER.EMA_DECAY = 0.0
     c.SOLVER.AMP = CfgNode({"ENABLED": True})  # bf16 compute on TPU
 
     c.TEST = CfgNode()

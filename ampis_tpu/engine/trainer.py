@@ -138,6 +138,16 @@ class Trainer:
             {"trainable": sgd, "frozen": optax.set_to_zero()}, labels)
         self.opt_state = self.tx.init(self.params)
 
+        # EMA shadow weights (SOLVER.EMA_DECAY; 0 = off): updated inside
+        # the jitted train step, saved with every checkpoint, preferred by
+        # load_weights at inference.
+        self.ema_decay = float(getattr(cfg.SOLVER, "EMA_DECAY", 0.0) or 0.0)
+        # real copies, not jnp.asarray: the shadow must own its buffers —
+        # the train step donates params and ema_params independently
+        self.ema_params = (jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                        self.params)
+                           if self.ema_decay else None)
+
         # data
         self.train_loader = (
             loader_from_config(cfg, cfg.DATASETS.TRAIN[0], train=True)
@@ -155,6 +165,8 @@ class Trainer:
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
+            if self.ema_params is not None:
+                self.ema_params = replicate(self.ema_params, self.mesh)
 
         # device-resident sample cache (engine.device_cache): upload each
         # (image, scale, flip) variant once, assemble batches on-device —
@@ -185,14 +197,35 @@ class Trainer:
         if resume:
             ckpt = latest_checkpoint(self.cfg.OUTPUT_DIR)
             if ckpt is not None:
-                state = restore_checkpoint(
-                    ckpt, target={"params": self.params,
-                                  "opt_state": self.opt_state,
-                                  "step": 0})
+                target = {"params": self.params,
+                          "opt_state": self.opt_state,
+                          "step": 0}
+                if self.ema_params is not None:
+                    target["ema_params"] = self.ema_params
+                try:
+                    state = restore_checkpoint(ckpt, target=target)
+                except (KeyError, ValueError):
+                    # tree-structure mismatch on the EMA shadow, in either
+                    # direction: checkpoint predates EMA (EMA newly
+                    # enabled) -> restore without and re-seed the shadow
+                    # from the params below; or the checkpoint carries an
+                    # EMA shadow but EMA is now off -> restore into a
+                    # throwaway target and drop it
+                    if "ema_params" in target:
+                        target.pop("ema_params")
+                    else:
+                        target["ema_params"] = jax.tree.map(
+                            lambda x: x, self.params)
+                    state = restore_checkpoint(ckpt, target=target)
                 self.params = state["params"]
                 self.opt_state = state["opt_state"]
+                if self.ema_params is not None:
+                    self.ema_params = jax.tree.map(
+                        lambda x: jnp.array(x, copy=True),
+                        state.get("ema_params", self.params))
                 self.iter = int(state["step"])
                 self.storage.iter = self.iter
+                self._step_dev = None  # reseed from the restored iter
         return self
 
     # ----------------------------------------------------------- jit steps
@@ -230,22 +263,37 @@ class Trainer:
                                  method=MaskRCNN.losses)
             return sum(losses.values()), losses
 
-        def train_step(params, opt_state, images, gt_boxes, gt_classes,
-                       gt_valid, gt_masks, gt_mask_meta, rng, new_shape,
-                       canvas):
+        ema_decay = self.ema_decay
+
+        def train_step(params, opt_state, ema_params, step, images,
+                       gt_boxes, gt_classes, gt_valid, gt_masks,
+                       gt_mask_meta, rng, new_shape, canvas):
             (total, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, images, gt_boxes, gt_classes,
                                        gt_valid, gt_masks, gt_mask_meta,
                                        rng, new_shape, canvas)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_opt_state, total, losses
+            if ema_decay:
+                # TF-style warmup: early steps track the params closely so
+                # the shadow never carries the random init for long
+                d = jnp.minimum(ema_decay,
+                                (1.0 + step) / (10.0 + step)).astype(
+                    jnp.float32)
+                ema_params = jax.tree.map(
+                    lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)
+                                  ).astype(e.dtype), ema_params, params)
+            # step stays device-resident across calls (like params /
+            # opt_state / ema): zero per-step host->device transfers
+            return params, new_opt_state, ema_params, step + 1.0, total, \
+                losses
 
         self._loss_fn = jax.jit(loss_fn,
                                 static_argnames=("new_shape", "canvas"))
         self._train_step = jax.jit(
             train_step, static_argnames=("new_shape", "canvas"),
-            donate_argnames=("params", "opt_state"))
+            donate_argnames=("params", "opt_state", "ema_params", "step"))
+        self._step_dev = None  # device step counter, seeded in run_step
 
     # ------------------------------------------------------------ run loop
 
@@ -261,8 +309,12 @@ class Trainer:
     def run_step(self, batch):
         self._rng, rng = jax.random.split(self._rng)
         arrays = self._device_batch(batch)
-        self.params, self.opt_state, total, losses = self._train_step(
-            self.params, self.opt_state, arrays["images"],
+        if self._step_dev is None:  # first step / after resume
+            self._step_dev = jnp.float32(self.iter)
+        (self.params, self.opt_state, self.ema_params, self._step_dev,
+         total, losses) = self._train_step(
+            self.params, self.opt_state, self.ema_params, self._step_dev,
+            arrays["images"],
             arrays["gt_boxes"], arrays["gt_classes"], arrays["gt_valid"],
             arrays["gt_masks"], arrays.get("gt_mask_meta"), rng,
             tuple(batch["new_shape"]), tuple(batch["canvas"]))
@@ -331,9 +383,12 @@ class Trainer:
     def save(self, step=None):
         step = self.iter + 1 if step is None else step
         path = Path(self.cfg.OUTPUT_DIR) / f"ckpt_{step}"
-        save_checkpoint(path, {"params": jax.device_get(self.params),
-                               "opt_state": jax.device_get(self.opt_state),
-                               "step": step})
+        tree = {"params": jax.device_get(self.params),
+                "opt_state": jax.device_get(self.opt_state),
+                "step": step}
+        if self.ema_params is not None:
+            tree["ema_params"] = jax.device_get(self.ema_params)
+        save_checkpoint(path, tree)
         return path
 
     # ----------------------------------------------- validation loss (hook)

@@ -116,6 +116,21 @@ def main():
                          "widen downward, e.g. 480,560,640,704,768,800, "
                          "for stronger scale augmentation; each distinct "
                          "size compiles one train program)")
+    ap.add_argument("--rotate", default=None,
+                    help="comma-separated rotation-augmentation angles in "
+                         "degrees, drawn uniformly per sample (cfg.INPUT."
+                         "RANDOM_ROTATION; include 0 to keep unrotated "
+                         "variants, e.g. 0,15,-15,30,-30). Host-side, so "
+                         "no extra compiles; each angle multiplies the "
+                         "device sample-cache variants")
+    ap.add_argument("--cache-mb", type=int, default=None,
+                    help="device sample-cache cap in MB (cfg.TPU."
+                         "DEVICE_DATA_CACHE_MB; raise when rotation x "
+                         "scale x flip variants exceed the 2048 default)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for shadow weights (cfg.SOLVER."
+                         "EMA_DECAY, e.g. 0.999); checkpoints carry both "
+                         "and inference prefers the EMA weights")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -152,6 +167,13 @@ def main():
         if args.min_sizes:
             cfg.INPUT.MIN_SIZE_TRAIN = tuple(
                 int(s) for s in args.min_sizes.split(","))
+        if args.rotate:
+            cfg.INPUT.RANDOM_ROTATION = tuple(
+                float(a) for a in args.rotate.split(","))
+        if args.cache_mb:
+            cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
+        if args.ema:
+            cfg.SOLVER.EMA_DECAY = args.ema
         if args.jitter:
             cfg.INPUT.RANDOM_BRIGHTNESS = (1 - args.jitter, 1 + args.jitter)
             cfg.INPUT.RANDOM_CONTRAST = (1 - args.jitter, 1 + args.jitter)

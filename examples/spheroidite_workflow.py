@@ -50,6 +50,16 @@ def main():
     ap.add_argument("--jitter", type=float, default=0.0,
                     help="random brightness/contrast in [1-x, 1+x] "
                          "(in-graph, detectron2 transform semantics)")
+    ap.add_argument("--rotate", default=None,
+                    help="comma-separated rotation-augmentation angles in "
+                         "degrees (cfg.INPUT.RANDOM_ROTATION; include 0; "
+                         "see examples/powder_workflow.py --rotate)")
+    ap.add_argument("--cache-mb", type=int, default=None,
+                    help="device sample-cache cap in MB "
+                         "(cfg.TPU.DEVICE_DATA_CACHE_MB)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for shadow weights "
+                         "(cfg.SOLVER.EMA_DECAY, e.g. 0.999)")
     ap.add_argument("--outdir", default="./spheroidite_out")
     args = ap.parse_args()
     data_root = Path(args.data)
@@ -84,6 +94,13 @@ def main():
         if args.jitter:
             cfg.INPUT.RANDOM_BRIGHTNESS = (1 - args.jitter, 1 + args.jitter)
             cfg.INPUT.RANDOM_CONTRAST = (1 - args.jitter, 1 + args.jitter)
+        if args.rotate:
+            cfg.INPUT.RANDOM_ROTATION = tuple(
+                float(a) for a in args.rotate.split(","))
+        if args.cache_mb:
+            cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
+        if args.ema:
+            cfg.SOLVER.EMA_DECAY = args.ema
         if args.norm == "auto":
             cfg.MODEL.RESNETS.NORM = ("GN" if args.train and not args.weights
                                       else "FrozenBN")

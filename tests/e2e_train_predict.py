@@ -88,6 +88,7 @@ def main():
     # reference never hits this because its recipe always starts from
     # COCO weights whose BN statistics normalize each stage.
     cfg.MODEL.PIXEL_STD = [60.0, 60.0, 60.0]
+    cfg.SOLVER.EMA_DECAY = 0.999  # exercise the EMA shadow-weights path
     cfg.OUTPUT_DIR = tmp + "/out"
 
     from ampis_tpu.data_utils import AmpisTrainer, format_outputs
@@ -123,6 +124,16 @@ def main():
     for a, b in zip(_jax.tree.leaves(trainer.params),
                     _jax.tree.leaves(resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # EMA shadow: saved with the checkpoint, restored exactly, and a real
+    # average (differs from the raw final iterate after a warmed-up run)
+    assert trainer.ema_params is not None and resumed.ema_params is not None
+    ema_diff = False
+    for a, b, p in zip(_jax.tree.leaves(trainer.ema_params),
+                       _jax.tree.leaves(resumed.ema_params),
+                       _jax.tree.leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ema_diff |= not np.array_equal(np.asarray(a), np.asarray(p))
+    assert ema_diff, "EMA shadow identical to raw params"
     batch = next(resumed.train_loader.infinite())
     total, _ = resumed.run_step(batch)
     assert np.isfinite(float(total))
@@ -134,6 +145,12 @@ def main():
     from ampis_tpu import analyze
     from ampis_tpu.engine.predictor import DefaultPredictor
     from ampis_tpu.structures import InstanceSet
+    # inference weights of record are the EMA shadow, not the raw iterate
+    from ampis_tpu.engine.checkpoint import load_weights
+    loaded = load_weights(str(ck))
+    np.testing.assert_array_equal(
+        np.asarray(_jax.tree.leaves(loaded["params"])[0]),
+        np.asarray(_jax.tree.leaves(trainer.ema_params["params"])[0]))
     cfg2 = cfg.clone()
     cfg2.MODEL.WEIGHTS = str(ck)
     pred = DefaultPredictor(cfg2)
