@@ -182,30 +182,29 @@ def merge_boxes(box1, box2):
                      min(c11, c21), max(c12, c22)])
 
 
-def _min_euclid(a, b):
+def _min_euclid(a, b, chunk=1 << 22):
     """Min euclidean distance from each row of *a* to rows of *b*.
 
-    Reference: analyze.py:379-413 (torch). Implemented as a jitted JAX
-    broadcast so it runs on whatever accelerator is available; inputs and
-    outputs are numpy.
+    Reference: analyze.py:379-413 (torch, float64-capable). Computed in
+    numpy float64 on the host — full reference precision. (A jitted JAX
+    version would silently truncate to float32 because x64 stays
+    globally disabled for the TPU compute path, and TPUs have no fast
+    f64 anyway; these point sets are tiny boundary neighborhoods, far
+    below accelerator-worthy sizes.) Chunked over rows of *a* so the
+    (n, m) distance matrix stays under ~``chunk`` elements.
     """
-    import jax.numpy as jnp
-    import jax
-
-    @jax.jit
-    def _kernel(aa, bb):
-        diff = aa[:, None, :].astype(jnp.float64) - bb[None, :, :].astype(
-            jnp.float64)
-        d = jnp.sqrt(jnp.sum(diff * diff, axis=2))
-        return jnp.min(d, axis=1)
-
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if len(a) == 0:
         return np.zeros(0)
     if len(b) == 0:
         return np.full(len(a), np.inf)
-    return np.asarray(_kernel(a, b))
+    rows = max(chunk // len(b), 1)
+    out = np.empty(len(a))
+    for lo in range(0, len(a), rows):
+        diff = a[lo:lo + rows, None, :] - b[None, :, :]
+        out[lo:lo + rows] = np.sqrt((diff * diff).sum(axis=2).min(axis=1))
+    return out
 
 
 def mask_edge_distance(gt_mask, pred_mask, gt_box, pred_box, matches,
@@ -249,124 +248,104 @@ def mask_edge_distance(gt_mask, pred_mask, gt_box, pred_box, matches,
     return FP_distances, FN_distances
 
 
+# default TP/FP/FN overlay colors — behavior pin from reference
+# analyze.py:551-554 (TP purple, FP cyan, FN red)
+_DET_PERF_COLORMAP = {'TP': (0.5, 0., 1.),
+                      'FP': (0., 1., 1.),
+                      'FN': (1., 0., 0.)}
+
+
 def det_perf_iset(gt, pred, match_results=None, colormap=None, tp_gt=False):
     """InstanceSet coloring detection TP/FP/FN for visualization.
 
-    Reference: analyze.py:502-586 (TP purple, FP cyan, FN red by default).
+    Reference: analyze.py:502-586. One instance per TP (from pred, or gt
+    when ``tp_gt``), FP (unmatched pred), FN (unmatched gt), colored by
+    group and stacked in TP/FP/FN order.
     """
     if match_results is None:
         match_results = rle_instance_matcher(gt, pred)
-
     return_colormap = colormap is None
-
-    size = gt.instances.image_size
-    gt_masks = masks_to_rle(gt.instances.masks, size)
-    pred_masks = masks_to_rle(pred.instances.masks, size)
-
-    gt_bbox = (gt.instances.boxes if isinstance(gt.instances.boxes, np.ndarray)
-               else np.asarray(gt.instances.boxes.tensor))
-    pred_bbox = (pred.instances.boxes
-                 if isinstance(pred.instances.boxes, np.ndarray)
-                 else np.asarray(pred.instances.boxes.tensor))
-
     if colormap is None:
-        colormap = {'TP': np.asarray([0.5, 0., 1.]),
-                    'FP': np.asarray([0., 1., 1.]),
-                    'FN': np.asarray([1., 0., 0.])}
+        colormap = {k: np.asarray(v) for k, v in _DET_PERF_COLORMAP.items()}
 
-    if tp_gt:
-        tp_idx = match_results['tp'][:, 0]
-        tp_masks = [gt_masks[i] for i in tp_idx]
-        tp_bbox = gt_bbox[tp_idx]
-    else:
-        tp_idx = match_results['tp'][:, 1]
-        tp_masks = [pred_masks[i] for i in tp_idx]
-        tp_bbox = pred_bbox[tp_idx]
-    tp_colors = np.tile(colormap['TP'], (len(tp_masks), 1))
+    def side(iset):  # (RLE masks, bbox array) of one InstanceSet
+        boxes = iset.instances.boxes
+        return (masks_to_rle(iset.instances.masks, gt.instances.image_size),
+                boxes if isinstance(boxes, np.ndarray)
+                else np.asarray(boxes.tensor))
 
-    fp_idx = match_results['fp']
-    fp_masks = [pred_masks[i] for i in fp_idx]
-    fp_bbox = pred_bbox[fp_idx]
-    fp_colors = np.tile(colormap['FP'], (len(fp_masks), 1))
+    gt_side, pred_side = side(gt), side(pred)
+    matched = match_results['tp']
+    # each group: (color key, (masks, boxes) source, indices into it)
+    groups = (('TP', gt_side if tp_gt else pred_side,
+               matched[:, 0] if tp_gt else matched[:, 1]),
+              ('FP', pred_side, match_results['fp']),
+              ('FN', gt_side, match_results['fn']))
 
-    fn_idx = match_results['fn']
-    fn_masks = [gt_masks[i] for i in fn_idx]
-    fn_bbox = gt_bbox[fn_idx]
-    fn_colors = np.tile(colormap['FN'], (len(fn_masks), 1))
+    masks, boxes, colors = [], [], []
+    for key, (side_masks, side_boxes), idx in groups:
+        masks.extend(side_masks[i] for i in idx)
+        boxes.append(side_boxes[np.asarray(idx, dtype=int)])
+        colors.append(np.tile(colormap[key], (len(idx), 1)))
 
-    masks = RLEMasks(tp_masks + fp_masks + fn_masks)
-    bbox = np.concatenate((tp_bbox, fp_bbox, fn_bbox), axis=0)
-    colors = np.concatenate((tp_colors, fp_colors, fn_colors), axis=0)
-
+    masks = RLEMasks(masks)
     iset = InstanceSet()
     iset.instances = Instances(image_size=tuple(masks.rle[0]['size']),
-                               masks=masks, boxes=bbox, colors=colors)
+                               masks=masks,
+                               boxes=np.concatenate(boxes, axis=0),
+                               colors=np.concatenate(colors, axis=0))
+    return (iset, colormap) if return_colormap else iset
 
-    if return_colormap:
-        return iset, colormap
-    return iset
+
+# seg_perf_iset output pins (reference analyze.py:658-689): per-pixel
+# 3-bit code tp|fn<<1|fp<<2, its channel layouts, and the two palettes.
+# 'all' keeps the 7 non-background codes as channels 0-6; 'reduced'
+# routes codes through a lookup: tp->0, fn->1, fp->2, any overlap->3.
+_SEG_PERF_MODES = {
+    'all': (np.arange(1, 8),  # code -> channel: identity minus background
+            np.array([[0.153, 0.153, 0.000], [0.286, 1., 0.],
+                      [1., 0.857, 0.], [1., 0., 0.], [0., 0.571, 1.],
+                      [0., 1., 0.571], [0.285, 0., 1.]]),
+            ['Other', 'TP', 'FN', 'TP+FN', 'FP', 'TP+FP', 'FN+FP',
+             'TP+FN+FP']),
+    'reduced': (np.array([-1, 0, 1, 3, 2, 3, 3, 3]),  # code -> channel
+                np.array([[0.5, 0., 1.], [1., 0., 0.],
+                          [0., 1., 1.], [1., 1., 0.]]),
+                ['TP', 'FN', 'FP', 'other']),
+}
 
 
 def seg_perf_iset(gt_masks, pred_masks, match_results=None, mode='reduced'):
     """InstanceSet of pixelwise TP/FN/FP/overlap maps for visualization.
 
-    Reference: analyze.py:589-699. Pixels are classified via the 3-bit code
-    tp + 2*fn + 4*fp; 'all' mode keeps the 7 non-background combinations,
-    'reduced' collapses to TP / FN / FP / other.
+    Reference: analyze.py:589-699. Pixels are classified via the 3-bit
+    code tp + 2*fn + 4*fp; 'all' mode keeps the 7 non-background
+    combinations, 'reduced' collapses to TP / FN / FP / other.
     """
     if match_results is None:
         match_results = rle_instance_matcher(gt_masks, pred_masks)
     gt_arr = masks_to_bitmask_array(gt_masks)
     pred_arr = masks_to_bitmask_array(pred_masks)
+    pairs_gt = gt_arr[match_results['tp'][:, 0]]
+    pairs_pred = pred_arr[match_results['tp'][:, 1]]
 
-    tp_idx = match_results['tp']
-    matched_gt = gt_arr[tp_idx[:, 0]]
-    matched_pred = pred_arr[tp_idx[:, 1]]
-
-    tp_mask = np.logical_and(matched_gt, matched_pred)
-    fn_mask = np.logical_and(matched_gt, np.logical_not(matched_pred))
-    fp_mask = np.logical_and(np.logical_not(matched_gt), matched_pred)
-
-    def project(m):
-        return np.logical_or.reduce(m, axis=0)
-
-    pixel_map = (project(tp_mask).astype(np.uint64)
-                 + project(fn_mask).astype(np.uint64) * 2
-                 + project(fp_mask).astype(np.uint64) * 4)
+    # 3-bit per-pixel code over the union of matched pairs
+    code = ((pairs_gt & pairs_pred).any(axis=0).astype(np.uint8)
+            | (pairs_gt & ~pairs_pred).any(axis=0) << np.uint8(1)
+            | (~pairs_gt & pairs_pred).any(axis=0) << np.uint8(2))
 
     if mode == 'all':
-        masks = np.zeros((*pixel_map.shape[:2], 7), bool)
-        for i in range(1, 8):
-            masks[:, :, i - 1] = pixel_map == i
-        color_mapper = np.array([
-            [0., 0., 0.],
-            [0.153, 0.153, 0.000],
-            [0.286, 1., 0.],
-            [1., 0.857, 0.],
-            [1., 0., 0.],
-            [0., 0.571, 1.],
-            [0., 1., 0.571],
-            [0.285, 0., 1.]])
-        colors = [color_mapper[1:],
-                  ['Other', 'TP', 'FN', 'TP+FN', 'FP', 'TP+FP', 'FN+FP',
-                   'TP+FN+FP']]
+        code_to_channel, palette, labels = _SEG_PERF_MODES['all']
+        channels = code[:, :, None] == code_to_channel  # (h, w, 7)
     else:
-        masks = np.zeros((*pixel_map.shape[:2], 4), bool)
-        for i, idx in enumerate([1, 2, 4]):
-            masks[:, :, i] = pixel_map == idx
-        masks[:, :, 3] = np.logical_or.reduce(
-            [pixel_map == i for i in [3, 5, 6, 7]], axis=0)
-        color_mapper = np.array([[0.5, 0., 1.],
-                                 [1., 0., 0.],
-                                 [0., 1., 1.],
-                                 [1., 1., 0.]])
-        colors = [color_mapper, ['TP', 'FN', 'FP', 'other']]
+        code_to_channel, palette, labels = _SEG_PERF_MODES['reduced']
+        channels = (code_to_channel[code][:, :, None]
+                    == np.arange(len(palette)))  # (h, w, 4)
 
-    masks = rle.encode(np.asfortranarray(masks.astype(np.uint8)))
-    masks = RLEMasks(masks)
-
+    masks = RLEMasks(rle.encode(
+        np.asfortranarray(channels.astype(np.uint8))))
     iset = InstanceSet()
     iset.instances = Instances(image_size=tuple(masks.rle[0]['size']),
-                               masks=masks, colors=colors[0],
+                               masks=masks, colors=palette,
                                boxes=np.zeros((len(masks), 4)))
-    return iset, colors
+    return iset, [palette, labels]

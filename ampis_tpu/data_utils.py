@@ -180,6 +180,166 @@ def format_outputs(filename, dataset, pred):
 # ---------------------------------------------------------------------------
 # dataset ingestion (reference data_utils.py:313-532)
 # ---------------------------------------------------------------------------
+#
+# Structure: one reader generator per on-disk annotation format, registered
+# in _DDICT_READERS; get_ddicts assembles the (schema-pinned) data dicts
+# from whatever the readers yield. The output schema — key names, bbox
+# convention ([x1, y1, x2, y2] inclusive indices), the +0.5 polygon pixel-
+# center offset, category_id=0 — matches reference data_utils.py:313-532
+# exactly; the parsing itself is vectorized (single-pass label-image bbox
+# scan, batched RLE encode) rather than the reference's per-instance loops.
+
+
+def _cwd_relative(path) -> str:
+    """Path as a cwd-relative string when possible (the reference stores
+    relative file names; absolute inputs outside the cwd stay absolute)."""
+    path = Path(path)
+    try:
+        return str(path.relative_to(Path()))
+    except ValueError:
+        return str(path)
+
+
+def _single_class(bbox, segmentation):
+    """One annotation record. All reference datasets are single-class
+    (category_id=0, reference data_utils.py:428/474/520)."""
+    return {'bbox': bbox, 'bbox_mode': BoxMode.XYXY_ABS,
+            'segmentation': segmentation, 'category_id': 0}
+
+
+def _label_image_annotations(ann):
+    """All instances of a label image, in one vectorized pass.
+
+    Bounding boxes come from a single np.nonzero scan with per-instance
+    min/max scatters (not a per-id dense comparison), and masks are
+    RLE-encoded through the batched C++ codec in bounded chunks.
+    """
+    ys, xs = np.nonzero(ann)
+    if ys.size == 0:
+        return []
+    ids, inv = np.unique(ann[ys, xs], return_inverse=True)
+    k = len(ids)
+    x1 = np.full(k, np.inf)
+    y1 = np.full(k, np.inf)
+    x2 = np.full(k, -np.inf)
+    y2 = np.full(k, -np.inf)
+    np.minimum.at(x1, inv, xs)
+    np.minimum.at(y1, inv, ys)
+    np.maximum.at(x2, inv, xs)
+    np.maximum.at(y2, inv, ys)
+    boxes = np.stack([x1, y1, x2, y2], axis=1)  # inclusive indices,
+    # matching extract_boxes' detectron2 mode
+
+    rles = []
+    for lo in range(0, k, 64):  # chunk the one-hot stack: bounded memory
+        chunk = ids[lo:lo + 64]
+        stack = (ann[:, :, None] == chunk[None, None, :]).astype(np.uint8)
+        rles.extend(RLE.encode(np.asfortranarray(stack)))
+    return [_single_class(boxes[i], rles[i]) for i in range(k)]
+
+
+def _read_mask_images(im_root, ann_root, pattern, binary):
+    """'binary' / 'label' formats: per-image mask files next to images.
+
+    Reference data_utils.py:376-433. Each image must have exactly one
+    annotation file (.npy or image) whose stem contains the image stem;
+    'binary' splits instances by connected components (C++ cc_label),
+    'label' treats each unique nonzero pixel value as an instance.
+    """
+    for p in sorted(Path(im_root).glob(pattern)):
+        candidates = sorted(Path(ann_root).glob(f'*{p.stem}*'))
+        assert len(candidates) == 1, (
+            f'There must be exactly 1 annotation file for {p.name}, '
+            f'but {len(candidates)} were found')
+        ann_path = Path(_cwd_relative(candidates[0]))
+        ann = (np.load(str(ann_path)) if ann_path.suffix == '.npy'
+               else imread(str(ann_path)))
+        if binary:
+            ann, _ = RLE.label(ann.astype(bool))
+        yield {'file_name': _cwd_relative(p),
+               'annotation_file': str(ann_path),
+               'height': ann.shape[0],
+               'width': ann.shape[1],
+               'mask_format': 'bitmask',
+               'annotations': _label_image_annotations(ann)}
+
+
+def _read_via2(im_root, ann_root, pattern, binary):
+    """VGG Image Annotator v2 project JSON (polygon regions).
+
+    Reference data_utils.py:435-480. Image size prefers the
+    'Size (width, height)' file attribute over decoding the image; the
+    'HFW' attribute (horizontal field width) rides along for the powder
+    physics. Polygon vertices shift +0.5 to pixel centers (reference
+    data_utils.py:467); the bbox is the min/max of the raw integer
+    vertices.
+    """
+    project = json.loads(Path(im_root).read_text())
+    img_dir = Path(im_root).parent / \
+        project['_via_settings']['core']['default_filepath']
+
+    for meta in project['_via_img_metadata'].values():
+        img_path = img_dir / meta['filename']
+        attrs = meta['file_attributes']
+        size = attrs.get('Size (width, height)')
+        if size:
+            width, height = (int(v) for v in size.split(', '))
+        else:
+            height, width = imread(img_path, as_gray=True).shape
+
+        annotations = []
+        for region in meta['regions']:
+            px = np.asarray(region['shape_attributes']['all_points_x'])
+            py = np.asarray(region['shape_attributes']['all_points_y'])
+            poly = (np.stack([px, py], axis=1) + 0.5).ravel().tolist()
+            bbox = np.asarray((px.min(), py.min(), px.max(), py.max()))
+            annotations.append(_single_class(bbox, [poly]))
+
+        yield {'file_name': _cwd_relative(img_path),
+               'annotation_file': Path(im_root).name,
+               'height': height,
+               'width': width,
+               'mask_format': 'polygon',
+               'HFW': attrs.get('HFW'),
+               'annotations': annotations}
+
+
+def _read_rle_json(im_root, ann_root, pattern, binary):
+    """JSON list of per-image RLE segmentation sets.
+
+    Reference data_utils.py:482-525. Counts strings are re-encoded to the
+    bytes the codec expects; the image size comes from the first RLE;
+    bounding boxes come from the codec's run-length bbox (no dense
+    decode), shifted from COCO's exclusive width/height convention to the
+    inclusive pixel indices extract_boxes produces.
+    """
+    im_root = Path(im_root)
+    for entry in json.loads(im_root.read_text()):
+        segs = [{**s, 'counts': s['counts'].encode('utf-8')}
+                for s in entry['segmentations']]
+        height, width = segs[0]['size']
+        xywh = RLE.toBbox(segs).astype(np.float64)
+        boxes = np.stack([xywh[:, 0], xywh[:, 1],
+                          np.maximum(xywh[:, 0] + xywh[:, 2] - 1, 0),
+                          np.maximum(xywh[:, 1] + xywh[:, 3] - 1, 0)],
+                         axis=1)
+        yield {'file_name': _cwd_relative(im_root.parent
+                                          / entry['file_name']),
+               'annotation_file': str(im_root),
+               'height': height,
+               'width': width,
+               'mask_format': 'bitmask',
+               'annotations': [_single_class(b, s)
+                               for b, s in zip(boxes, segs)]}
+
+
+_DDICT_READERS = {
+    'binary': lambda *a: _read_mask_images(*a[:3], binary=True),
+    'label': lambda *a: _read_mask_images(*a[:3], binary=False),
+    'via2': _read_via2,
+    'rle': _read_rle_json,
+}
+
 
 def get_ddicts(label_fmt, im_root, ann_root=None, pattern='*',
                dataset_class=None):
@@ -188,7 +348,7 @@ def get_ddicts(label_fmt, im_root, ann_root=None, pattern='*',
     Reference: data_utils.py:313-532. Four annotation formats:
 
     * ``binary``: per-image binary mask images/.npy; connected components
-      (8-connectivity) split instances.
+      split instances.
     * ``label``: per-image label images/.npy; unique pixel values are
       instance ids.
     * ``via2``: VGG Image Annotator v2 JSON polygons (+0.5 px center
@@ -200,150 +360,14 @@ def get_ddicts(label_fmt, im_root, ann_root=None, pattern='*',
     dataset_class, HFW (via2 only), annotations[{bbox, bbox_mode,
     segmentation, category_id}], num_instances.
     """
-    cwd = Path()
-    im_root = Path(im_root)
-    ann_root = Path(ann_root) if ann_root else None
-    ddicts = []
-
-    if label_fmt.lower() in ['binary', 'label']:
-        img_paths = sorted(Path(im_root).glob(pattern))
-        for idx, p in enumerate(img_paths):
-            file_annotations = sorted(
-                Path(ann_root).glob('*{}*'.format(p.stem)))
-            n = len(file_annotations)
-            assert n == 1, (f'There must be exactly 1 annotation file for '
-                            f'{p.name}, but {n} were found')
-            ann_path = file_annotations[0]
-            try:
-                ann_path = ann_path.relative_to(cwd)
-            except ValueError:
-                pass
-
-            ann = (np.load(str(ann_path)) if ann_path.suffix == '.npy'
-                   else imread(str(ann_path)))
-            height, width = ann.shape[:2]
-            try:
-                file_name = str(p.relative_to(cwd))
-            except ValueError:
-                file_name = str(p)
-            ddict = {'file_name': file_name,
-                     'annotation_file': str(ann_path),
-                     'height': height,
-                     'width': width,
-                     'mask_format': 'bitmask',
-                     'image_id': idx,
-                     'dataset_class': dataset_class}
-
-            if label_fmt == 'binary':
-                ann, _ = RLE.label(ann.astype(bool))
-
-            unique = np.unique(ann)
-            if unique[0] == 0:
-                unique = unique[1:]
-
-            annotations = []
-            for u in unique:
-                mask = ann == u
-                bbox = extract_boxes(mask)[0]
-                mask = RLE.encode(np.asfortranarray(mask.astype(np.uint8)))
-                annotations.append({'bbox': bbox,
-                                    'bbox_mode': BoxMode.XYXY_ABS,
-                                    'segmentation': mask,
-                                    'category_id': 0})
-            ddict['annotations'] = annotations
-            ddict['num_instances'] = len(annotations)
-            ddicts.append(ddict)
-
-    elif label_fmt.lower() == 'via2':
-        with open(Path(im_root), 'rb') as f:
-            j = json.load(f)
-
-        img_dir = Path(im_root.parent,
-                       j['_via_settings']['core']['default_filepath'])
-
-        for idx, annos in enumerate(j['_via_img_metadata'].values()):
-            filename = Path(img_dir, annos['filename'])
-            size = annos['file_attributes'].get('Size (width, height)', None)
-            if size:
-                width, height = tuple(int(x) for x in size.split(', '))
-            else:
-                im = imread(filename, as_gray=True)
-                height, width = im.shape
-            hfw = annos['file_attributes'].get('HFW', None)
-
-            try:
-                file_name = str(filename.relative_to(cwd))
-            except ValueError:
-                file_name = str(filename)
-            ddict = {'file_name': file_name,
-                     'annotation_file': im_root.name,
-                     'height': height,
-                     'width': width,
-                     'mask_format': 'polygon',
-                     'image_id': idx,
-                     'HFW': hfw,
-                     'dataset_class': dataset_class}
-
-            annotations = []
-            for obj in annos['regions']:
-                shape = obj['shape_attributes']
-                px = shape['all_points_x']
-                py = shape['all_points_y']
-                poly = [(x + 0.5, y + 0.5) for x, y in zip(px, py)]
-                poly = [p for x in poly for p in x]
-                annotations.append({
-                    'bbox': np.asarray((np.min(px), np.min(py),
-                                        np.max(px), np.max(py))),
-                    'bbox_mode': BoxMode.XYXY_ABS,
-                    'segmentation': [poly],
-                    'category_id': 0,
-                })
-            ddict['annotations'] = annotations
-            ddict['num_instances'] = len(annotations)
-            ddicts.append(ddict)
-
-    elif label_fmt.lower() == 'rle':
-        im_root = Path(im_root)
-        with open(im_root, 'r') as f:
-            data = json.load(f)
-        # encode strings back to binary for the codec
-        for i, anns in enumerate(data):
-            for jj, ann in enumerate(anns['segmentations']):
-                data[i]['segmentations'][jj]['counts'] = \
-                    ann['counts'].encode('utf-8')
-
-        for idx, p in enumerate(data):
-            n = Path(p['file_name'])
-            img_path = Path(im_root.parent, n)
-            ann = p['segmentations']
-            height, width = ann[0]['size']
-
-            try:
-                file_name = str(img_path.relative_to(cwd))
-            except ValueError:
-                file_name = str(img_path)
-            ddict = {'file_name': file_name,
-                     'annotation_file': str(im_root),
-                     'height': height,
-                     'width': width,
-                     'mask_format': 'bitmask',
-                     'image_id': idx,
-                     'dataset_class': dataset_class}
-
-            annotations = []
-            for mask in ann:
-                d = RLE.decode(mask)
-                bbox = extract_boxes(d)[0]
-                annotations.append({'bbox': bbox,
-                                    'bbox_mode': BoxMode.XYXY_ABS,
-                                    'segmentation': mask,
-                                    'category_id': 0})
-            ddict['annotations'] = annotations
-            ddict['num_instances'] = len(annotations)
-            ddicts.append(ddict)
-
-    else:
+    reader = _DDICT_READERS.get(label_fmt.lower())
+    if reader is None:
         raise ValueError(
             "label_fmt must be 'binary', 'label', 'via2', or 'rle'")
-
+    ddicts = []
+    for idx, rec in enumerate(reader(im_root, ann_root, pattern, False)):
+        rec['image_id'] = idx
+        rec['dataset_class'] = dataset_class
+        rec['num_instances'] = len(rec['annotations'])
+        ddicts.append(rec)
     return ddicts

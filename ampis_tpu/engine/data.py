@@ -305,10 +305,17 @@ class DetectionLoader:
         img, ns, b, c, v, m, mm = self._load_one(self.ddicts[idx],
                                                  min_size, flip=flip)
         arrays = {"images": img, "gt_boxes": b, "gt_classes": c,
-                  "gt_valid": v, "gt_masks": m}
+                  "gt_valid": v, "gt_masks": m,
+                  "image_hw": self._true_hw(idx)}
         if mm is not None:
             arrays["gt_mask_meta"] = mm
         return arrays, ns
+
+    def _true_hw(self, idx):
+        """True raw extent of one sample (before fixed-canvas padding):
+        the in-graph photometric jitter masks its mean/blend to this."""
+        d = self.ddicts[idx]
+        return np.asarray([d["height"], d["width"]], np.int32)
 
     def draw_flips(self, n):
         """n per-sample augmentation codes from the loader's RNG stream:
@@ -348,6 +355,7 @@ class DetectionLoader:
             "gt_classes": np.stack(classes),
             "gt_valid": np.stack(valids),
             "gt_masks": np.stack(masks),
+            "image_hw": np.stack([self._true_hw(i) for i in indices]),
         }
         if metas[0] is not None:
             batch["gt_mask_meta"] = np.stack(metas)

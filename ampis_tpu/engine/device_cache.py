@@ -66,7 +66,9 @@ class DeviceBatcher:
         return self._bytes
 
     def _get(self, idx, min_size, flip):
-        key = (int(idx), int(min_size), int(flip))  # flip: 2-bit h/v code
+        # flip: augmentation code (bits 0-1 h/v flips, higher bits =
+        # rotation index / aug-variant index — see DetectionLoader.draw_flips)
+        key = (int(idx), int(min_size), int(flip))
         entry = self._cache.get(key)
         if entry is not None:
             return entry

@@ -53,9 +53,12 @@ class DefaultPredictor:
             k: "calib"
             for k in ("int8_mask_head", "int8_backbone", "int8_neck")
             if getattr(self.model, k, False) == "static"}
+        # all-leaves check: with several independent int8 groups, a tree
+        # calibrated for one group but zero for a newly enabled one must
+        # recalibrate (quantize_static(x, 0) yields clipped garbage)
         self._needs_calib = bool(statics) and (
             quant is None
-            or not any(float(s) > 0 for s in jax.tree.leaves(quant)))
+            or not all(float(s) > 0 for s in jax.tree.leaves(quant)))
         if self._needs_calib:
             self._calib_model = self.model.clone(**statics)
 

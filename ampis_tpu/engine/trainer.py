@@ -89,6 +89,28 @@ def trainable_mask(params, freeze_at=2, train_norm=False):
     return walk(params, ())
 
 
+def param_labels(params, freeze_at=2, train_norm=False):
+    """Optimizer group per leaf: 'frozen' (zero updates), 'norm'
+    (trainable norm affines — weight-decayed with SOLVER.
+    WEIGHT_DECAY_NORM, detectron2 default 0: the He et al. 2019
+    from-scratch GN recipe excludes norm params from decay), or
+    'trainable' (everything else). Freezing rules match
+    trainable_mask."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if "norm" in path and not train_norm:
+            return "frozen"
+        if freeze_at >= 1 and "stem" in path:
+            return "frozen"
+        if freeze_at >= 2 and any(p.startswith("res2") for p in path):
+            return "frozen"
+        return "norm" if "norm" in path else "trainable"
+
+    return walk(params, ())
+
+
 class Trainer:
     """trainer = Trainer(cfg); trainer.resume_or_load(); trainer.train()."""
 
@@ -119,23 +141,30 @@ class Trainer:
         # optimizer: SGD momentum + weight decay; frozen params (FrozenBN
         # stats, stem/res2 per FREEZE_AT) get zero updates
         self.schedule = build_lr_schedule(cfg)
-        mask = trainable_mask(
+        train_norm = cfg.MODEL.RESNETS.NORM.lower() == "gn"
+        self._mask = trainable_mask(
             self.params, freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
-            train_norm=cfg.MODEL.RESNETS.NORM.lower() == "gn")
-        self._mask = mask
-        labels = jax.tree.map(
-            lambda t: "trainable" if t else "frozen", mask)
-        sgd = optax.chain(
-            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY),
-            optax.sgd(self.schedule, momentum=cfg.SOLVER.MOMENTUM))
-        if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
-            clip = (optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
-                    if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value"
-                    else optax.clip_by_global_norm(
-                        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
-            sgd = optax.chain(clip, sgd)
+            train_norm=train_norm)
+        labels = param_labels(
+            self.params, freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            train_norm=train_norm)
+
+        def make_sgd(decay):
+            sgd = optax.chain(
+                optax.add_decayed_weights(decay),
+                optax.sgd(self.schedule, momentum=cfg.SOLVER.MOMENTUM))
+            if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+                clip = (optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+                        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value"
+                        else optax.clip_by_global_norm(
+                            cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+                sgd = optax.chain(clip, sgd)
+            return sgd
+
         self.tx = optax.multi_transform(
-            {"trainable": sgd, "frozen": optax.set_to_zero()}, labels)
+            {"trainable": make_sgd(cfg.SOLVER.WEIGHT_DECAY),
+             "norm": make_sgd(cfg.SOLVER.WEIGHT_DECAY_NORM),
+             "frozen": optax.set_to_zero()}, labels)
         self.opt_state = self.tx.init(self.params)
 
         # EMA shadow weights (SOLVER.EMA_DECAY; 0 = off): updated inside
@@ -242,16 +271,25 @@ class Trainer:
         jitter = bright != (1.0, 1.0) or contrast != (1.0, 1.0)
 
         def loss_fn(params, images, gt_boxes, gt_classes, gt_valid,
-                    gt_masks, gt_mask_meta, rng, new_shape, canvas):
+                    gt_masks, gt_mask_meta, image_hw, rng, new_shape,
+                    canvas):
             if jitter:
                 # in-graph photometric augmentation (INPUT.RANDOM_BRIGHTNESS
                 # / RANDOM_CONTRAST); keys derived by fold_in so the model's
-                # sampling rng stream is unchanged when jitter is off
+                # sampling rng stream is unchanged when jitter is off.
+                # image_hw masks the contrast mean/blend to each sample's
+                # true extent (fixed-canvas zero padding stays zero).
                 keys = jax.random.split(jax.random.fold_in(rng, 0x9d),
                                         images.shape[0])
-                images = jax.vmap(
-                    lambda im, k: photometric_jitter(im, k, bright, contrast)
-                )(images, keys)
+                if image_hw is None:
+                    images = jax.vmap(
+                        lambda im, k: photometric_jitter(
+                            im, k, bright, contrast))(images, keys)
+                else:
+                    images = jax.vmap(
+                        lambda im, k, hw: photometric_jitter(
+                            im, k, bright, contrast, valid_hw=hw)
+                    )(images, keys, image_hw)
             batch = jax.vmap(
                 lambda im: preprocess_image(im, new_shape, canvas, mean, std)
             )(images)
@@ -267,11 +305,11 @@ class Trainer:
 
         def train_step(params, opt_state, ema_params, step, images,
                        gt_boxes, gt_classes, gt_valid, gt_masks,
-                       gt_mask_meta, rng, new_shape, canvas):
+                       gt_mask_meta, image_hw, rng, new_shape, canvas):
             (total, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, images, gt_boxes, gt_classes,
                                        gt_valid, gt_masks, gt_mask_meta,
-                                       rng, new_shape, canvas)
+                                       image_hw, rng, new_shape, canvas)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_decay:
@@ -299,8 +337,9 @@ class Trainer:
 
     def _device_batch(self, batch):
         keys = ["images", "gt_boxes", "gt_classes", "gt_valid", "gt_masks"]
-        if "gt_mask_meta" in batch:
-            keys.append("gt_mask_meta")
+        for opt in ("gt_mask_meta", "image_hw"):
+            if opt in batch:
+                keys.append(opt)
         arrays = {k: batch[k] for k in keys}
         if self.mesh is not None:
             arrays = shard_batch(arrays, self.mesh)
@@ -316,7 +355,8 @@ class Trainer:
             self.params, self.opt_state, self.ema_params, self._step_dev,
             arrays["images"],
             arrays["gt_boxes"], arrays["gt_classes"], arrays["gt_valid"],
-            arrays["gt_masks"], arrays.get("gt_mask_meta"), rng,
+            arrays["gt_masks"], arrays.get("gt_mask_meta"),
+            arrays.get("image_hw"), rng,
             tuple(batch["new_shape"]), tuple(batch["canvas"]))
         return total, losses
 
@@ -397,13 +437,14 @@ class Trainer:
         """Train-mode loss dict on a validation batch (LossEvalHook)."""
         self._rng, rng = jax.random.split(self._rng)
         keys = ["images", "gt_boxes", "gt_classes", "gt_valid", "gt_masks"]
-        if "gt_mask_meta" in batch:
-            keys.append("gt_mask_meta")
+        for opt in ("gt_mask_meta", "image_hw"):
+            if opt in batch:
+                keys.append(opt)
         arrays = {k: jnp.asarray(batch[k]) for k in keys}
         _, losses = self._loss_fn(
             self.params, arrays["images"], arrays["gt_boxes"],
             arrays["gt_classes"], arrays["gt_valid"], arrays["gt_masks"],
-            arrays.get("gt_mask_meta"), rng, tuple(batch["new_shape"]),
-            tuple(batch["canvas"]))
+            arrays.get("gt_mask_meta"), arrays.get("image_hw"), rng,
+            tuple(batch["new_shape"]), tuple(batch["canvas"]))
         losses = jax.device_get(losses)
         return {k: float(v) for k, v in losses.items()}

@@ -111,13 +111,17 @@ def preprocess_image(image, new_shape, canvas, pixel_mean, pixel_std,
 
 
 def photometric_jitter(image, key, brightness=(1.0, 1.0),
-                       contrast=(1.0, 1.0)):
+                       contrast=(1.0, 1.0), valid_hw=None):
     """Random brightness/contrast on one raw (H, W, C) image, in-graph.
 
     detectron2 transform semantics (T.RandomBrightness: img * w;
-    T.RandomContrast: mean(img) * (1 - w) + img * w, each w ~ U[min, max])
-    applied on the raw pixel scale *before* resize/normalize, matching
-    where DatasetMapper applies them host-side. Train-only; identity
+    T.RandomContrast: mean(img) * (1 - w) + img * w, each w ~ U[min, max],
+    clipped to [0, 255] like BlendTransform on uint8 images) applied on
+    the raw pixel scale *before* resize/normalize, matching where
+    DatasetMapper applies them host-side. ``valid_hw`` (h, w) restricts
+    the contrast mean and the blend to the true image extent so the
+    fixed-canvas zero padding neither biases the mean nor becomes
+    nonzero; None means the whole canvas is valid. Train-only; identity
     ranges are the caller's signal to skip the call entirely.
     """
     kb, kc = jax.random.split(key)
@@ -125,8 +129,18 @@ def photometric_jitter(image, key, brightness=(1.0, 1.0),
     wb = jax.random.uniform(kb, (), minval=brightness[0],
                             maxval=brightness[1])
     wc = jax.random.uniform(kc, (), minval=contrast[0], maxval=contrast[1])
-    img = img * wb
-    return img.mean() * (1.0 - wc) + img * wc
+    if valid_hw is None:
+        valid = jnp.ones(img.shape[:2], jnp.float32)[:, :, None]
+    else:
+        valid = ((jnp.arange(img.shape[0]) < valid_hw[0])[:, None]
+                 & (jnp.arange(img.shape[1]) < valid_hw[1])[None, :]
+                 ).astype(jnp.float32)[:, :, None]
+    # brightness first, then contrast blends toward the *brightened*
+    # image's valid-extent mean (mean is linear: mean(img * wb) = wb * m)
+    mean = wb * jnp.sum(img * valid) / jnp.maximum(
+        jnp.sum(valid) * img.shape[-1], 1.0)
+    out = (img * wb) * wc + mean * (1.0 - wc)
+    return jnp.clip(out, 0.0, 255.0) * valid
 
 
 def resize_scale(orig_shape, new_shape):

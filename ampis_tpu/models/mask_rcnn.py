@@ -521,6 +521,20 @@ class MaskRCNN(nn.Module):
         }
 
 
+def _check_int8_backbone(mode, norm_type):
+    """int8 backbone folds the norm {scale, bias} into the conv kernel,
+    which is only an identity transform for FrozenBN — with GN the
+    runtime normalization would be silently skipped and the features
+    garbage, so refuse instead."""
+    if mode and norm_type != "FrozenBN":
+        raise ValueError(
+            f"cfg.TPU.INT8_BACKBONE={mode!r} requires "
+            f"cfg.MODEL.RESNETS.NORM='FrozenBN' (got {norm_type!r}): "
+            f"ConvBNInt8 folds the norm affine into the conv kernel, "
+            f"which cannot express GroupNorm's runtime statistics")
+    return mode
+
+
 def build_model(cfg) -> MaskRCNN:
     """Construct a MaskRCNN from a CfgNode (ampis_tpu.engine.config)."""
     dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
@@ -556,7 +570,9 @@ def build_model(cfg) -> MaskRCNN:
                    else False),
         # bool or "calib"/"static"/"dynamic" (see MaskRCNN.int8_mask_head)
         int8_mask_head=getattr(cfg.TPU, "INT8_MASK_HEAD", False),
-        int8_backbone=getattr(cfg.TPU, "INT8_BACKBONE", False),
+        int8_backbone=_check_int8_backbone(
+            getattr(cfg.TPU, "INT8_BACKBONE", False),
+            cfg.MODEL.RESNETS.NORM),
         int8_neck=getattr(cfg.TPU, "INT8_NECK", False),
         mask_capacity_per_image=getattr(
             cfg.TPU, "MASK_CAPACITY_PER_IMAGE", 0) or 0,

@@ -76,14 +76,21 @@ def main():
     params = init_params(model, jax.random.PRNGKey(0))
 
     # Prefer trained weights (realistic score distributions and NMS
-    # workload): BENCH_WEIGHTS env var, else the newest local training
-    # output, else the random init above.
+    # workload): BENCH_WEIGHTS env var, else the checkpoint pinned in the
+    # committed bench_weights.json pointer (an explicit pin — a newest-
+    # mtime glob would let any training experiment silently change what
+    # the driver benchmarks), else the random init above.
     ckpt = os.environ.get("BENCH_WEIGHTS")
     if ckpt is None:
-        cands = sorted(Path(__file__).parent.glob(
-            "powder_out*/train/ckpt_*"),
-            key=lambda p: (p.stat().st_mtime, p.name))
-        ckpt = str(cands[-1]) if cands else None
+        pin = Path(__file__).parent / "bench_weights.json"
+        if pin.is_file():
+            pinned = Path(__file__).parent / json.loads(
+                pin.read_text())["checkpoint"]
+            if pinned.is_dir():
+                ckpt = str(pinned)
+            else:
+                print(f"# pinned bench checkpoint missing: {pinned}",
+                      file=sys.stderr)
     if ckpt:
         try:
             from ampis_tpu.engine.checkpoint import load_weights

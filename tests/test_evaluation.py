@@ -138,6 +138,49 @@ def test_greedy_match_vectorized_equals_loops():
         np.testing.assert_array_equal(got, want)
 
 
+def test_evaluate_dataset_runs_predictor_over_catalog(tmp_path):
+    """evaluate_dataset: registered dataset -> predictor -> mask AP. A stub
+    predictor that returns each image's own GT must score AP == 1."""
+    from ampis_tpu import rle as RLE
+    from ampis_tpu.engine.catalog import DatasetCatalog
+    from ampis_tpu.evaluation import evaluate_dataset
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    ddicts = []
+    for i in range(2):
+        img_path = tmp_path / f"im{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (32, 32), np.uint8)).save(img_path)
+        masks = np.zeros((32, 32, 3), np.uint8, order="F")
+        for j in range(3):
+            y, x = 4 + 9 * j, 3 + 8 * i
+            masks[y:y + 6, x:x + 7, j] = 1
+        ddicts.append({
+            "file_name": str(img_path), "height": 32, "width": 32,
+            "image_id": i, "annotations": [
+                {"bbox": np.array([0, 0, 31, 31]), "bbox_mode": 0,
+                 "segmentation": r, "category_id": 0}
+                for r in RLE.encode(masks)]})
+    name = "eval_dataset_stub"
+    if name in DatasetCatalog.list():
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: ddicts)
+
+    calls = []
+
+    def predictor(img):
+        d = ddicts[len(calls)]
+        calls.append(img.shape)
+        rles = [a["segmentation"] for a in d["annotations"]]
+        return (rles, np.linspace(0.9, 0.7, len(rles)))
+
+    out = evaluate_dataset(name, predictor)
+    assert len(calls) == 2 and all(s == (32, 32, 3) for s in calls)
+    assert out["AP"] == 1.0 and out["AP50"] == 1.0
+    DatasetCatalog.remove(name)
+
+
 def test_shipped_predictions_against_gt(reference_root):
     """Mask AP of the reference model's own shipped predictions vs the VIA
     ground truth (powder validation image) — pins the whole pipeline:
