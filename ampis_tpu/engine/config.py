@@ -226,6 +226,28 @@ def get_cfg() -> CfgNode:
     # micrographs are orientation-free — recommended for from-scratch
     # training. Each angle multiplies the device sample-cache variants.
     c.INPUT.RANDOM_ROTATION = ()
+    # Instance copy-paste train augmentation (Ghiasi et al. 2021, "Simple
+    # Copy-Paste is a Strong Data Augmentation Method for Instance
+    # Segmentation"): with probability COPY_PASTE per sample variant,
+    # paste 1..COPY_PASTE_MAX instances from other training images at
+    # random positions (each rescaled by a factor drawn from
+    # COPY_PASTE_SCALE), removing occluded pixels from existing ground
+    # truth. Host-side in the RAW frame. The paste layout is a pure
+    # function of the sample-cache key (image, scale, flip/rotation code),
+    # so it adds NO new cache variants — each existing variant gets one
+    # fixed, distinct arrangement. Off by default (the reference's
+    # detectron2 recipe has no copy-paste); the strongest lever this
+    # framework has for its few-shot (<= 10 images) target regime.
+    c.INPUT.COPY_PASTE = 0.0
+    c.INPUT.COPY_PASTE_MAX = 20
+    c.INPUT.COPY_PASTE_SCALE = (1.0, 1.0)
+    # Crop training: sample one fixed (CROP_SIZE x CROP_SIZE) window per
+    # cache variant at native scale before resizing (0 = off). Turns a
+    # handful of large micrographs into hundreds of distinct effective
+    # training views and lets small instances train at higher relative
+    # resolution (pair with MIN_SIZE_TRAIN near CROP_SIZE for native-res
+    # training). Inference is unaffected (full images).
+    c.INPUT.CROP_SIZE = 0
     c.INPUT.MASK_FORMAT = "polygon"
     c.INPUT.FORMAT = "BGR"
     # TPU-specific: fixed padded canvas (h, w) for static shapes under jit;

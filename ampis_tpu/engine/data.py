@@ -66,6 +66,23 @@ class DetectionLoader:
         # the device cache keys variants without new plumbing.
         self.angles = (list(getattr(cfg.INPUT, "RANDOM_ROTATION", ()) or ())
                        if train else [])
+        # copy-paste + crop augmentation: layouts are a pure function of
+        # the cache key (idx, min_size, aug code) via _variant_rng — each
+        # cached variant gets one fixed arrangement, so these add ZERO new
+        # cache entries (no key-space blowup, no extra host
+        # materializations; ~hundreds of distinct layouts come free from
+        # the existing scale x flip x rotation variants).
+        self.seed = seed
+        self.paste_p = (float(getattr(cfg.INPUT, "COPY_PASTE", 0.0) or 0.0)
+                        if train else 0.0)
+        self.paste_max = int(getattr(cfg.INPUT, "COPY_PASTE_MAX", 20) or 0)
+        self.paste_scale = tuple(getattr(cfg.INPUT, "COPY_PASTE_SCALE",
+                                         (1.0, 1.0)))
+        crop = getattr(cfg.INPUT, "CROP_SIZE", 0) if train else 0
+        self.crop = (None if not crop
+                     else (int(crop), int(crop)) if np.isscalar(crop)
+                     else (int(crop[0]), int(crop[1])))
+        self._img_cache = {} if train else None
 
         # static shapes: ONE raw canvas per dataset (max H x W over the
         # ddicts; images with smaller raw sizes are placed top-left with
@@ -77,15 +94,20 @@ class DetectionLoader:
         # (docs/parity.md).
         self.raw_shape = (max(d["height"] for d in self.ddicts),
                           max(d["width"] for d in self.ddicts))
+        # the pre-resize frame: the crop window when crop training is on,
+        # else the raw canvas (paste/rotate always run in the raw frame)
+        pre = self.crop or self.raw_shape
         canvases = []
         for ms in self.min_sizes:
             canvases.append(pad_to_canvas_shape(
-                *get_resize_shape(*self.raw_shape, ms, self.max_size),
+                *get_resize_shape(*pre, ms, self.max_size),
                 fixed=cfg.INPUT.FIXED_SIZE))
         self.canvas = (max(c[0] for c in canvases),
                        max(c[1] for c in canvases))
         n_inst = max((d.get("num_instances", 0) for d in self.ddicts),
                      default=1)
+        if self.paste_p:
+            n_inst += self.paste_max
         self.max_gt = max_gt or max(_round_up(max(n_inst, 1), 16), 16)
         self.mask_canvas = int(getattr(cfg.TPU, "MASK_CANVAS", 0) or 0)
 
@@ -222,23 +244,204 @@ class DetectionLoader:
                         "bbox_mode": BoxMode.XYXY_ABS})
         return img, out
 
-    def _load_one(self, ddict, min_size, flip=False):
-        img = imread_bgr(ddict["file_name"])
+    def _rasterize_raw(self, a, ddict_hw):
+        """One annotation's mask at raw scale: (bool crop, (y0, x0))."""
+        box = self._scaled_bbox(a, 1.0, 1.0)
+        crop, origin = self._instance_crop(a, box, 1.0, 1.0, ddict_hw)
+        return crop.astype(bool), origin
+
+    @staticmethod
+    def _rle_from_window(window, origin, frame_hw):
+        """Full-frame RLE + tight XYXY bbox from a bool crop window."""
+        y0, x0 = origin
+        full = np.zeros(frame_hw, np.uint8)
+        full[y0:y0 + window.shape[0], x0:x0 + window.shape[1]] = window
+        ys, xs = np.nonzero(window)
+        bbox = np.asarray([x0 + xs.min(), y0 + ys.min(),
+                           x0 + xs.max(), y0 + ys.max()], np.float64)
+        return RLE.encode(np.asfortranarray(full)), bbox
+
+    def _copy_paste(self, img, annos, rng):
+        """Instance copy-paste in the raw frame (Ghiasi et al. 2021).
+
+        Pastes 1..COPY_PASTE_MAX instances drawn from random training
+        images (donor pixels under the donor's mask) at uniform random
+        positions, each rescaled by a COPY_PASTE_SCALE draw; occluded
+        pixels are removed from pre-existing ground truth and instances
+        left with fewer than 4 visible pixels are dropped. All layout
+        randomness comes from ``rng`` (see _variant_rng). ``img`` must be
+        a private copy (pixels are written in place).
+        """
+        from PIL import Image
+        h_frame, w_frame = img.shape[:2]
+        union = np.zeros((h_frame, w_frame), bool)
+        pasted = []
+        for _ in range(rng.randint(1, self.paste_max + 1)):
+            d_idx = int(rng.randint(len(self.ddicts)))
+            donor = self.ddicts[d_idx]
+            donor_annos = donor.get("annotations", [])
+            if not donor_annos:
+                continue
+            a = donor_annos[int(rng.randint(len(donor_annos)))]
+            crop, (iy0, ix0) = self._rasterize_raw(
+                a, (donor["height"], donor["width"]))
+            patch = self._raw_image(d_idx)[iy0:iy0 + crop.shape[0],
+                                           ix0:ix0 + crop.shape[1]]
+            s = float(rng.uniform(*self.paste_scale))
+            if abs(s - 1.0) > 1e-6:
+                ch = max(int(round(crop.shape[0] * s)), 1)
+                cw = max(int(round(crop.shape[1] * s)), 1)
+                crop = np.asarray(Image.fromarray(
+                    crop.astype(np.uint8) * 255).resize(
+                        (cw, ch), Image.BILINEAR)) > 127
+                patch = np.asarray(Image.fromarray(patch).resize(
+                    (cw, ch), Image.BILINEAR))
+            ch, cw = crop.shape
+            if ch >= h_frame or cw >= w_frame or crop.sum() < 4:
+                continue
+            y0 = int(rng.randint(0, h_frame - ch + 1))
+            x0 = int(rng.randint(0, w_frame - cw + 1))
+            img[y0:y0 + ch, x0:x0 + cw][crop] = patch[crop]
+            union[y0:y0 + ch, x0:x0 + cw] |= crop
+            pasted.append((crop, (y0, x0), a["category_id"]))
+        if not pasted:
+            return img, annos
+
+        # later pastes occlude earlier ones: walk back-to-front tracking
+        # the pixels already claimed by later instances
+        later = np.zeros((h_frame, w_frame), bool)
+        pasted_annos = []
+        for crop, (y0, x0), cat in reversed(pasted):
+            window = later[y0:y0 + crop.shape[0], x0:x0 + crop.shape[1]]
+            visible = crop & ~window
+            window |= crop
+            if visible.sum() < 4:
+                continue
+            seg, bbox = self._rle_from_window(visible, (y0, x0),
+                                              (h_frame, w_frame))
+            pasted_annos.append({"bbox": bbox,
+                                 "bbox_mode": BoxMode.XYXY_ABS,
+                                 "segmentation": seg,
+                                 "category_id": cat})
+        pasted_annos.reverse()
+
+        kept = []
+        for a in annos:
+            box = self._scaled_bbox(a, 1.0, 1.0)
+            wy0 = max(int(box[1]) - 2, 0)
+            wx0 = max(int(box[0]) - 2, 0)
+            wy1 = min(int(box[3]) + 3, h_frame)
+            wx1 = min(int(box[2]) + 3, w_frame)
+            if not union[wy0:wy1, wx0:wx1].any():
+                kept.append(a)  # no pasted pixels near it: unchanged
+                continue
+            crop, (iy0, ix0) = self._rasterize_raw(a, (h_frame, w_frame))
+            visible = crop & ~union[iy0:iy0 + crop.shape[0],
+                                    ix0:ix0 + crop.shape[1]]
+            n_vis = int(visible.sum())
+            if n_vis < 4:
+                continue  # (almost) fully occluded
+            if n_vis == int(crop.sum()):
+                kept.append(a)
+                continue
+            seg, bbox = self._rle_from_window(visible, (iy0, ix0),
+                                              (h_frame, w_frame))
+            kept.append({**a, "segmentation": seg, "bbox": bbox,
+                         "bbox_mode": BoxMode.XYXY_ABS})
+        return img, kept + pasted_annos
+
+    def _crop_sample(self, img, annos, rng):
+        """One fixed random CROP_SIZE window at native scale.
+
+        Annotations are clipped to the window: polygons shift
+        analytically (the scanline rasterizer clips out-of-frame
+        vertices), RLE masks re-encode their visible window; instances
+        clipped below 2 px extent or 4 visible pixels are dropped.
+        """
+        ch, cw = self.crop
+        h_frame, w_frame = img.shape[:2]
+        y0 = int(rng.randint(0, max(h_frame - ch, 0) + 1))
+        x0 = int(rng.randint(0, max(w_frame - cw, 0) + 1))
+        img = img[y0:y0 + ch, x0:x0 + cw]
+        out = []
+        for a in annos:
+            box = self._scaled_bbox(a, 1.0, 1.0)
+            nb = np.asarray([box[0] - x0, box[1] - y0,
+                             box[2] - x0, box[3] - y0], np.float64)
+            clipped = np.asarray([max(nb[0], 0.0), max(nb[1], 0.0),
+                                  min(nb[2], float(cw)),
+                                  min(nb[3], float(ch))])
+            if clipped[2] - clipped[0] < 2 or clipped[3] - clipped[1] < 2:
+                continue
+            seg = a["segmentation"]
+            if isinstance(seg, dict):
+                dense = RLE.decode(seg).astype(bool)
+                if dense.shape != (h_frame, w_frame):
+                    padded = np.zeros((h_frame, w_frame), bool)
+                    padded[:dense.shape[0], :dense.shape[1]] = dense
+                    dense = padded
+                window = dense[y0:y0 + ch, x0:x0 + cw]
+                if window.sum() < 4:
+                    continue
+                seg_t, clipped = self._rle_from_window(
+                    window, (0, 0), (ch, cw))
+            else:
+                seg_t = []
+                for p in seg:
+                    q = np.asarray(p, np.float64).copy()
+                    q[0::2] -= x0
+                    q[1::2] -= y0
+                    seg_t.append(q.tolist())
+            out.append({**a, "segmentation": seg_t, "bbox": clipped,
+                        "bbox_mode": BoxMode.XYXY_ABS})
+        return img, out
+
+    def _variant_rng(self, idx, min_size, code):
+        """Deterministic RNG for a sample's stochastic host augs
+        (copy-paste layout, crop window): a pure function of the cache key
+        so the streaming loader and the device-resident cache materialize
+        identical pixels for the same (idx, min_size, code)."""
+        mix = (int(idx) * 1000003 ^ int(min_size) * 7919
+               ^ int(code) * 104729 ^ (self.seed + 1) * 2654435761)
+        return np.random.RandomState(mix & 0x7fffffff)
+
+    def _raw_image(self, idx):
+        """Raw BGR image of one ddict, zero-padded to the raw canvas.
+        Cached for training loaders (copy-paste re-reads donors)."""
+        if self._img_cache is not None and idx in self._img_cache:
+            return self._img_cache[idx]
+        img = imread_bgr(self.ddicts[idx]["file_name"])
         if img.shape[:2] != self.raw_shape:
             padded = np.zeros(self.raw_shape + img.shape[2:], img.dtype)
             padded[:img.shape[0], :img.shape[1]] = img
             img = padded
-        h0, w0 = self.raw_shape
-        new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
-        sy = new_shape[0] / h0
-        sx = new_shape[1] / w0
+        if self._img_cache is not None:
+            if len(self._img_cache) >= 64:
+                self._img_cache.pop(next(iter(self._img_cache)))
+            self._img_cache[idx] = img
+        return img
+
+    def _load_one(self, idx, min_size, flip=False):
+        ddict = self.ddicts[idx]
+        img = self._raw_image(idx)
 
         annos = ddict.get("annotations", [])
+        rng = (self._variant_rng(idx, min_size, flip)
+               if (self.paste_p or self.crop) else None)
+        if self.paste_p and rng.rand() < self.paste_p:
+            img, annos = self._copy_paste(img.copy(), annos, rng)
         angle_idx = int(flip) >> 2
         if self.angles and angle_idx < len(self.angles) \
                 and self.angles[angle_idx]:
             img, annos = self._rotate_sample(img, annos,
                                              self.angles[angle_idx])
+        if self.crop:
+            img, annos = self._crop_sample(img, annos, rng)
+
+        h0, w0 = img.shape[:2]
+        new_shape = get_resize_shape(h0, w0, min_size, self.max_size)
+        sy = new_shape[0] / h0
+        sx = new_shape[1] / w0
         g = self.max_gt
         boxes = np.zeros((g, 4), np.float32)
         classes = np.zeros((g,), np.int32)
@@ -302,8 +505,7 @@ class DetectionLoader:
         Pure function of (idx, min_size, flip) — the addressable unit the
         device-resident cache (engine.device_cache.DeviceBatcher) keys on.
         """
-        img, ns, b, c, v, m, mm = self._load_one(self.ddicts[idx],
-                                                 min_size, flip=flip)
+        img, ns, b, c, v, m, mm = self._load_one(idx, min_size, flip=flip)
         arrays = {"images": img, "gt_boxes": b, "gt_classes": c,
                   "gt_valid": v, "gt_masks": m,
                   "image_hw": self._true_hw(idx)}
@@ -313,7 +515,10 @@ class DetectionLoader:
 
     def _true_hw(self, idx):
         """True raw extent of one sample (before fixed-canvas padding):
-        the in-graph photometric jitter masks its mean/blend to this."""
+        the in-graph photometric jitter masks its mean/blend to this.
+        Crop training emits full-valid crop-sized frames."""
+        if self.crop:
+            return np.asarray(self.crop, np.int32)
         d = self.ddicts[idx]
         return np.asarray([d["height"], d["width"]], np.int32)
 
@@ -338,8 +543,8 @@ class DetectionLoader:
         if flips is None:
             flips = self.draw_flips(len(indices))
         for idx, flip in zip(indices, flips):
-            img, ns, b, c, v, m, mm = self._load_one(self.ddicts[idx],
-                                                     min_size, flip=flip)
+            img, ns, b, c, v, m, mm = self._load_one(idx, min_size,
+                                                     flip=flip)
             new_shape = ns
             imgs.append(img)
             boxes.append(b)

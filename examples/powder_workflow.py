@@ -123,6 +123,23 @@ def main():
                          "variants, e.g. 0,15,-15,30,-30). Host-side, so "
                          "no extra compiles; each angle multiplies the "
                          "device sample-cache variants")
+    ap.add_argument("--copy-paste", type=float, default=0.0,
+                    help="instance copy-paste probability per train sample "
+                         "variant (cfg.INPUT.COPY_PASTE; Ghiasi et al. "
+                         "2021). The strongest few-shot augmentation "
+                         "lever: pastes instances between training images "
+                         "with occlusion-aware GT updates")
+    ap.add_argument("--copy-paste-max", type=int, default=20,
+                    help="max instances pasted per sample "
+                         "(cfg.INPUT.COPY_PASTE_MAX)")
+    ap.add_argument("--copy-paste-scale", default="1.0,1.0",
+                    help="per-pasted-instance rescale range lo,hi "
+                         "(cfg.INPUT.COPY_PASTE_SCALE, e.g. 0.8,1.25)")
+    ap.add_argument("--crop", type=int, default=0,
+                    help="crop training: sample one CROP x CROP window "
+                         "per train variant at native scale "
+                         "(cfg.INPUT.CROP_SIZE; pair with --min-sizes "
+                         "near CROP for native-resolution training)")
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB (cfg.TPU."
                          "DEVICE_DATA_CACHE_MB; raise when rotation x "
@@ -170,6 +187,13 @@ def main():
         if args.rotate:
             cfg.INPUT.RANDOM_ROTATION = tuple(
                 float(a) for a in args.rotate.split(","))
+        if args.copy_paste:
+            cfg.INPUT.COPY_PASTE = args.copy_paste
+            cfg.INPUT.COPY_PASTE_MAX = args.copy_paste_max
+            cfg.INPUT.COPY_PASTE_SCALE = tuple(
+                float(s) for s in args.copy_paste_scale.split(","))
+        if args.crop:
+            cfg.INPUT.CROP_SIZE = args.crop
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:

@@ -347,3 +347,164 @@ def test_flip_dense_mask_path(ddicts):
             m = m[:, ::-1, :]
         np.testing.assert_array_equal(b["gt_masks"][:n, :H, :W], m,
                                       err_msg=f"dense {code}")
+
+
+# ---------------------------------------------------------------- copy-paste
+
+@pytest.fixture(scope="module")
+def cp_ddicts(tmp_path_factory):
+    """Images with per-image constant brightness so pasted patches carry
+    their donor's pixel value (paste provenance is checkable)."""
+    tmp = tmp_path_factory.mktemp("cp")
+    out = []
+    for i in range(3):
+        img = np.full((64, 96), 40 + 60 * i, np.uint8)
+        p = str(tmp / f"cp{i}.png")
+        Image.fromarray(img).save(p)
+        annos = []
+        for j in range(3):
+            m = np.zeros((64, 96), np.uint8, order="F")
+            y, x = 6 + 18 * j, 8 + 26 * j
+            m[y:y + 12, x:x + 16] = 1
+            annos.append({"bbox": np.array([x, y, x + 15, y + 11],
+                                           np.float64),
+                          "bbox_mode": BoxMode.XYXY_ABS,
+                          "segmentation": RLE.encode(np.asfortranarray(m)),
+                          "category_id": 0})
+        out.append({"file_name": p, "height": 64, "width": 96,
+                    "mask_format": "bitmask", "image_id": i,
+                    "annotations": annos, "num_instances": 3})
+    return out
+
+
+def _cp_cfg(scale=(1.0, 1.0), crop=0):
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.INPUT.COPY_PASTE = 1.0
+    cfg.INPUT.COPY_PASTE_MAX = 4
+    cfg.INPUT.COPY_PASTE_SCALE = scale
+    cfg.INPUT.CROP_SIZE = crop
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TPU.MASK_CANVAS = 0
+    return cfg
+
+
+def test_copy_paste_annotation_invariants(cp_ddicts):
+    """Pixels change only under pasted masks; pasted pixels carry donor
+    brightness; occlusion never leaves overlapping GT."""
+    loader = DetectionLoader(cp_ddicts, _cp_cfg(), train=True, seed=0)
+    raw = loader._raw_image(0).copy()
+    any_pasted = False
+    for code in range(4):
+        rng = loader._variant_rng(0, 64, code)
+        assert rng.rand() < 1.0
+        img, annos = loader._copy_paste(
+            raw.copy(), cp_ddicts[0]["annotations"], rng)
+        union = np.zeros((64, 96), bool)
+        stack = []
+        for a in annos:
+            m = RLE.decode(a["segmentation"]).astype(bool)
+            union |= m
+            stack.append(m)
+        changed = (img != raw).any(axis=2)
+        assert not (changed & ~union).any()
+        # pasted-from-other-donor pixels have the donor's brightness
+        vals = np.unique(img[changed][..., 0]) if changed.any() else []
+        assert all(v in (40, 100, 160) for v in vals)
+        any_pasted = any_pasted or changed.any()
+        # occlusion: masks are pairwise disjoint after paste
+        total = sum(m.sum() for m in stack)
+        assert total == union.sum(), "overlapping GT after copy-paste"
+    assert any_pasted
+
+
+def test_copy_paste_cache_equivalence(cp_ddicts):
+    cfg = _cp_cfg(scale=(0.7, 1.3))
+    cfg.INPUT.RANDOM_FLIP = "both"
+    stream = DetectionLoader(cp_ddicts, cfg, train=True, seed=9)
+    batcher = DeviceBatcher(DetectionLoader(cp_ddicts, cfg, train=True,
+                                            seed=9))
+    it_s, it_c = stream.infinite(prefetch=0), batcher.infinite()
+    for _ in range(8):
+        bs, bc = next(it_s), next(it_c)
+        for k in ("images", "gt_boxes", "gt_classes", "gt_valid",
+                  "gt_masks"):
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+    # copy-paste adds ZERO cache variants: 3 imgs x 1 size x 4 flips
+    assert batcher.n_cached <= 12
+
+
+def test_copy_paste_fresh_loader_reproduces(cp_ddicts):
+    a, _ = DetectionLoader(cp_ddicts, _cp_cfg(), train=True,
+                           seed=3).sample(1, 64, 0)
+    b, _ = DetectionLoader(cp_ddicts, _cp_cfg(), train=True,
+                           seed=3).sample(1, 64, 0)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_copy_paste_bumps_max_gt(cp_ddicts):
+    plain = DetectionLoader(cp_ddicts, get_cfg(), train=True)
+    pasted = DetectionLoader(cp_ddicts, _cp_cfg(), train=True)
+    assert pasted.max_gt >= plain.max_gt  # room for pasted instances
+
+
+# ----------------------------------------------------------------- cropping
+
+def test_crop_gt_registered_with_pixels(rot_ddicts):
+    """Crop training: GT masks equal the bright pixels inside the sampled
+    window (instance IS the bright region), boxes inside the window."""
+    cfg = _rot_cfg(angles=())
+    cfg.INPUT.CROP_SIZE = 32
+    cfg.INPUT.MIN_SIZE_TRAIN = (32,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 32
+    loader = DetectionLoader(rot_ddicts, cfg, train=True, seed=0)
+    assert loader.canvas == (32, 32)
+    seen_partial = False
+    for idx in (0, 1):       # polygon, RLE annotations
+        for code in range(2):
+            s, ns = loader.sample(idx, 32, code)
+            assert ns == (32, 32)
+            bright = s["images"][..., 0] > 100
+            n = int(s["gt_valid"].sum())
+            if n == 0:
+                assert bright.sum() <= 64  # tiny sliver allowed to drop
+                continue
+            gt = s["gt_masks"][0, :32, :32] > 0
+            inter = (gt & bright).sum()
+            assert inter / max(gt.sum(), 1) > 0.95
+            assert inter / max(bright.sum(), 1) > 0.95
+            x0, y0, x1, y1 = s["gt_boxes"][0]
+            assert -1 <= x0 <= x1 <= 33 and -1 <= y0 <= y1 <= 33
+            if bright.sum() < (34 - 18) * (46 - 24):
+                seen_partial = True
+    assert seen_partial  # at least one window clipped the instance
+
+
+def test_crop_cache_equivalence(cp_ddicts):
+    cfg = _cp_cfg(crop=48)
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 48
+    cfg.INPUT.RANDOM_FLIP = "both"
+    stream = DetectionLoader(cp_ddicts, cfg, train=True, seed=6)
+    batcher = DeviceBatcher(DetectionLoader(cp_ddicts, cfg, train=True,
+                                            seed=6))
+    it_s, it_c = stream.infinite(prefetch=0), batcher.infinite()
+    for _ in range(8):
+        bs, bc = next(it_s), next(it_c)
+        assert np.asarray(bs["images"]).shape[1:3] == (48, 48)
+        for k in ("images", "gt_boxes", "gt_classes", "gt_valid",
+                  "gt_masks"):
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+    assert batcher.n_cached <= 12  # crop adds no new variants either
+
+
+def test_crop_validation_path_unaffected(cp_ddicts):
+    """CROP_SIZE only applies to training loaders."""
+    cfg = _cp_cfg(crop=32)
+    val = DetectionLoader(cp_ddicts, cfg, train=False, batch_size=1)
+    batch = next(iter(val))
+    assert batch["images"].shape[1:3] == (64, 96)
