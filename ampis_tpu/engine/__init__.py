@@ -10,6 +10,9 @@ def __getattr__(name):
     if name == "Trainer":
         from .trainer import Trainer
         return Trainer
+    if name == "TTAPredictor":
+        from .tta import TTAPredictor
+        return TTAPredictor
     if name == "ProfilerHook":
         from .profiling import ProfilerHook
         return ProfilerHook

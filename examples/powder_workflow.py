@@ -148,6 +148,14 @@ def main():
                     help="EMA decay for shadow weights (cfg.SOLVER."
                          "EMA_DECAY, e.g. 0.999); checkpoints carry both "
                          "and inference prefers the EMA weights")
+    ap.add_argument("--tta", action="store_true",
+                    help="test-time augmentation: merge h/v-flipped and "
+                         "multi-scale views by NMS (engine.tta."
+                         "TTAPredictor; each extra scale compiles one "
+                         "more inference graph)")
+    ap.add_argument("--tta-scales", default=None,
+                    help="comma-separated TTA shortest-edge scales "
+                         "(default: MIN_SIZE_TEST only, flips-only TTA)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -255,7 +263,14 @@ def main():
             cfg.MODEL.WEIGHTS = str(latest_checkpoint(cfg.OUTPUT_DIR))
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.utils.io import imread_bgr
-        predictor = DefaultPredictor(cfg)
+        if args.tta:
+            from ampis_tpu.engine.tta import TTAPredictor
+            scales = (tuple(int(s) for s in args.tta_scales.split(","))
+                      if args.tta_scales else None)
+            predictor = TTAPredictor(cfg, min_sizes=scales, flip=True,
+                                     vflip=True)
+        else:
+            predictor = DefaultPredictor(cfg)
         results = []
         for d in DatasetCatalog.get(names[(thing, "validation")]):
             out = predictor(imread_bgr(d["file_name"]))

@@ -1,0 +1,126 @@
+"""TTAPredictor (engine.tta): view inversion + NMS merging, no model."""
+import numpy as np
+
+from ampis_tpu.engine.config import get_cfg
+from ampis_tpu.engine.tta import TTAPredictor, greedy_nms
+from ampis_tpu.structures import Instances, SoftMasks
+
+
+def test_greedy_nms_basic():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep = greedy_nms(boxes, scores, 0.5)
+    assert keep.tolist() == [0, 2]
+    # below-threshold overlap survives
+    keep = greedy_nms(boxes, scores, 0.95)
+    assert keep.tolist() == [0, 1, 2]
+
+
+class _StubPredictor:
+    """Detects the single bright rectangle in the view it is given, in
+    VIEW coordinates — so TTA must invert flips to make views agree."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.calls = 0
+
+    def __call__(self, image):
+        self.calls += 1
+        bright = image[:, :, 0] > 100
+        ys, xs = np.nonzero(bright)
+        box = np.array([[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]],
+                       np.float32)
+        mask = np.zeros((1, 28, 28), np.float32)
+        mask[0, :, :14] = 1.0  # left half in view coords
+        inst = Instances(image.shape[:2], pred_boxes=box,
+                         scores=np.array([0.5 + 0.01 * self.calls],
+                                         np.float32),
+                         pred_classes=np.zeros(1, np.int64),
+                         pred_masks=SoftMasks(mask, box, image.shape[:2]))
+        return {"instances": inst}
+
+
+def _make_tta(**kw):
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    stub = _StubPredictor(cfg)
+    return TTAPredictor(cfg, predictor=stub, **kw), stub
+
+
+def test_views_invert_and_merge_to_one():
+    tta, stub = _make_tta(flip=True, vflip=True)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200  # one bright rectangle
+    out = tta(img)["instances"]
+    assert stub.calls == 4  # identity, h, v, hv
+    # all four views' detections invert to the same box -> one survivor
+    assert len(out.scores) == 1
+    np.testing.assert_allclose(out.pred_boxes[0], [12, 10, 30, 20])
+    # the survivor is the highest-score view
+    assert out.scores[0] == max(0.5 + 0.01 * c for c in (1, 2, 3, 4))
+
+
+def test_mask_crops_inverted_with_view():
+    """An h-flipped view's mask crop flips back: the stub marks the view's
+    left half, which is the ORIGINAL's right half under h-flip."""
+    tta, stub = _make_tta(flip=True, vflip=False)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200
+    out = tta(img)["instances"]
+    assert stub.calls == 2
+    m = np.asarray(out.pred_masks.masks)
+    # survivor is the flipped view (higher score) -> right half marked
+    assert m[0, :, 14:].all() and not m[0, :, :14].any()
+
+
+def test_disjoint_views_accumulate():
+    """Detections that do NOT coincide across views all survive NMS."""
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+
+    class TwoBox:
+        def __init__(self):
+            self.cfg = cfg
+            self.n = 0
+
+        def __call__(self, image):
+            self.n += 1
+            box = np.array([[5.0 * self.n, 0, 5.0 * self.n + 3, 3]],
+                           np.float32)
+            inst = Instances(image.shape[:2], pred_boxes=box,
+                             scores=np.array([0.9], np.float32),
+                             pred_classes=np.zeros(1, np.int64),
+                             pred_masks=SoftMasks(
+                                 np.ones((1, 28, 28), np.float32), box,
+                                 image.shape[:2]))
+            return {"instances": inst}
+
+    tta = TTAPredictor(cfg, predictor=TwoBox(), flip=False, vflip=False,
+                       min_sizes=(64, 96))
+    out = tta(np.zeros((40, 60, 3), np.uint8))["instances"]
+    assert len(out.scores) == 2  # one per scale, no merging
+
+
+def test_max_detections_cap():
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 1
+
+    class ManyBox:
+        def __init__(self):
+            self.cfg = cfg
+
+        def __call__(self, image):
+            boxes = np.array([[0, 0, 3, 3], [10, 10, 13, 13]], np.float32)
+            inst = Instances(
+                image.shape[:2], pred_boxes=boxes,
+                scores=np.array([0.9, 0.8], np.float32),
+                pred_classes=np.zeros(2, np.int64),
+                pred_masks=SoftMasks(np.ones((2, 28, 28), np.float32),
+                                     boxes, image.shape[:2]))
+            return {"instances": inst}
+
+    tta = TTAPredictor(cfg, predictor=ManyBox(), flip=False)
+    out = tta(np.zeros((20, 20, 3), np.uint8))["instances"]
+    assert len(out.scores) == 1 and out.scores[0] == np.float32(0.9)
