@@ -148,6 +148,15 @@ def main():
                     help="EMA decay for shadow weights (cfg.SOLVER."
                          "EMA_DECAY, e.g. 0.999); checkpoints carry both "
                          "and inference prefers the EMA weights")
+    ap.add_argument("--sat-native", action="store_true",
+                    help="satellite tiny-object recipe: anchors fit to "
+                         "the satellite GT size distribution (sqrt-area "
+                         "p5/p50/p95 = 7/15/37 px at native scale), "
+                         "512-px crop training at native resolution, "
+                         "copy-paste, and native-resolution inference "
+                         "(MIN_SIZE_TEST=1024). Overrides the generic "
+                         "--min-sizes/--rotate/--crop flags for the "
+                         "satellite model only")
     ap.add_argument("--tta", action="store_true",
                     help="test-time augmentation: merge h/v-flipped and "
                          "multi-scale views by NMS (engine.tta."
@@ -214,6 +223,24 @@ def main():
                                       else "FrozenBN")
         else:
             cfg.MODEL.RESNETS.NORM = args.norm
+        if thing == "satellite" and args.sat_native:
+            # tiny-object recipe (see --sat-native help). Satellites are
+            # ~15 px median at native scale: the stock 32-px smallest
+            # anchor plus the 800-px test resize starve P2 of positive
+            # anchors — train on native-scale crops with 16-px anchors
+            # and infer at native resolution instead.
+            cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[16], [32], [64],
+                                                [128], [256]]
+            cfg.INPUT.CROP_SIZE = 512
+            cfg.INPUT.MIN_SIZE_TRAIN = (448, 512)
+            cfg.INPUT.MAX_SIZE_TRAIN = 512
+            cfg.INPUT.MIN_SIZE_TEST = 1024
+            cfg.INPUT.MAX_SIZE_TEST = 1536
+            cfg.INPUT.RANDOM_ROTATION = ()  # crops supply the diversity
+            if not args.copy_paste:
+                cfg.INPUT.COPY_PASTE = 0.5
+                cfg.INPUT.COPY_PASTE_MAX = 30
+                cfg.INPUT.COPY_PASTE_SCALE = (0.8, 1.25)
         if weights:
             cfg.MODEL.WEIGHTS = weights
             # recover run-specific keys from the config the trainer
@@ -226,6 +253,12 @@ def main():
                 cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
                 cfg.MODEL.RESNETS.NORM = saved["MODEL"]["RESNETS"].get(
                     "NORM", "FrozenBN")
+                # anchors + test resolution must match training (the
+                # --sat-native recipe changes both)
+                cfg.MODEL.ANCHOR_GENERATOR.SIZES = \
+                    saved["MODEL"]["ANCHOR_GENERATOR"]["SIZES"]
+                cfg.INPUT.MIN_SIZE_TEST = saved["INPUT"]["MIN_SIZE_TEST"]
+                cfg.INPUT.MAX_SIZE_TEST = saved["INPUT"]["MAX_SIZE_TEST"]
                 print(f"input stats from {ckpt_cfg}: "
                       f"mean={cfg.MODEL.PIXEL_MEAN} "
                       f"std={cfg.MODEL.PIXEL_STD} "
