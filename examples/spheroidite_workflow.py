@@ -54,6 +54,16 @@ def main():
                     help="comma-separated rotation-augmentation angles in "
                          "degrees (cfg.INPUT.RANDOM_ROTATION; include 0; "
                          "see examples/powder_workflow.py --rotate)")
+    ap.add_argument("--copy-paste", type=float, default=0.0,
+                    help="instance copy-paste probability "
+                         "(cfg.INPUT.COPY_PASTE; see powder workflow)")
+    ap.add_argument("--copy-paste-max", type=int, default=20)
+    ap.add_argument("--copy-paste-scale", default="1.0,1.0")
+    ap.add_argument("--crop", type=int, default=0,
+                    help="native-scale crop training window "
+                         "(cfg.INPUT.CROP_SIZE)")
+    ap.add_argument("--tta", action="store_true",
+                    help="flip TTA at inference (engine.tta.TTAPredictor)")
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB "
                          "(cfg.TPU.DEVICE_DATA_CACHE_MB)")
@@ -97,6 +107,13 @@ def main():
         if args.rotate:
             cfg.INPUT.RANDOM_ROTATION = tuple(
                 float(a) for a in args.rotate.split(","))
+        if args.copy_paste:
+            cfg.INPUT.COPY_PASTE = args.copy_paste
+            cfg.INPUT.COPY_PASTE_MAX = args.copy_paste_max
+            cfg.INPUT.COPY_PASTE_SCALE = tuple(
+                float(s) for s in args.copy_paste_scale.split(","))
+        if args.crop:
+            cfg.INPUT.CROP_SIZE = args.crop
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:
@@ -147,7 +164,11 @@ def main():
             cfg.MODEL.WEIGHTS = str(latest_checkpoint(cfg.OUTPUT_DIR))
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.utils.io import imread_bgr
-        predictor = DefaultPredictor(cfg)
+        if args.tta:
+            from ampis_tpu.engine.tta import TTAPredictor
+            predictor = TTAPredictor(cfg, flip=True, vflip=True)
+        else:
+            predictor = DefaultPredictor(cfg)
         results = [data_utils.format_outputs(
             d["file_name"], "spheroidite_Validation",
             predictor(imread_bgr(d["file_name"]))) for d in ddicts]
