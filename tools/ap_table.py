@@ -1,0 +1,149 @@
+"""Mask-AP table for one checkpoint across inference modes.
+
+Runs a trained checkpoint over a dataset's validation split in one or
+more inference configurations (bf16, int8 mask head, int8 backbone/neck,
+mask-stage compaction, TTA) and prints one AP row per mode — the
+measurement harness behind docs/parity.md's int8 and recipe tables.
+
+Usage:
+    python tools/ap_table.py --ckpt runs/x/train/ckpt_9000 \
+        --dataset powder_particle [--modes bf16,int8] [--tta] \
+        [--mask-cap 288]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ampis_tpu import analyze, data_utils, structures  # noqa: E402
+from ampis_tpu.engine import DatasetCatalog, MetadataCatalog, get_cfg  # noqa: E402
+from ampis_tpu.evaluation import evaluate_mask_ap  # noqa: E402
+
+DATA = Path("/root/reference/examples")
+
+DATASETS = {
+    "powder_particle": ("via2", DATA / "powder/data/via_2.0.8/"
+                        "via_powder_particle_masks_validation.json", {}),
+    "powder_satellite": ("via2", DATA / "powder/data/via_2.0.8/"
+                         "via_powder_satellite_masks_validation.json", {}),
+    "spheroidite": ("binary", DATA / "spheroidite/data/images",
+                    {"ann_root": DATA / "spheroidite/data/annotations",
+                     "pattern": "micrograph*"}),
+}
+
+
+def register(name):
+    fmt, path, kw = DATASETS[name]
+    reg = f"ap_table_{name}"
+    if reg not in DatasetCatalog.list():
+        DatasetCatalog.register(
+            reg, lambda: data_utils.get_ddicts(fmt, path, **kw))
+        MetadataCatalog.get(reg).set(thing_classes=[name])
+    return reg
+
+
+def build_cfg(ckpt, detections):
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.TEST.DETECTIONS_PER_IMAGE = detections
+    cfg.MODEL.WEIGHTS = str(ckpt)
+    saved_path = Path(ckpt).parent / "config.json"
+    if saved_path.is_file():
+        saved = json.loads(saved_path.read_text())
+        cfg.MODEL.PIXEL_MEAN = saved["MODEL"]["PIXEL_MEAN"]
+        cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
+        cfg.MODEL.RESNETS.NORM = saved["MODEL"]["RESNETS"].get(
+            "NORM", "FrozenBN")
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = \
+            saved["MODEL"]["ANCHOR_GENERATOR"]["SIZES"]
+        cfg.INPUT.MIN_SIZE_TEST = saved["INPUT"]["MIN_SIZE_TEST"]
+        cfg.INPUT.MAX_SIZE_TEST = saved["INPUT"]["MAX_SIZE_TEST"]
+    return cfg
+
+
+def evaluate(cfg, reg_name, tta=False, tta_scales=None):
+    from ampis_tpu.utils.io import imread_bgr
+    if tta:
+        from ampis_tpu.engine.tta import TTAPredictor
+        predictor = TTAPredictor(cfg, min_sizes=tta_scales, flip=True,
+                                 vflip=True)
+    else:
+        from ampis_tpu.engine.predictor import DefaultPredictor
+        predictor = DefaultPredictor(cfg)
+    ddicts = DatasetCatalog.get(reg_name)
+    preds, gt_sets = [], []
+    t0 = time.time()
+    for d in ddicts:
+        out = predictor(imread_bgr(d["file_name"]))
+        preds.append(structures.InstanceSet().read_from_model_out(
+            data_utils.format_outputs(d["file_name"], reg_name, out),
+            inplace=False))
+        gt_sets.append(structures.InstanceSet().read_from_ddict(
+            d, inplace=False))
+    dt = time.time() - t0
+    ap = evaluate_mask_ap(gt_sets, preds)
+    det = [analyze.det_seg_scores(g, p, size=g.instances.image_size)
+           for g, p in zip(gt_sets, preds)]
+    return {
+        "AP": round(ap["AP"], 3), "AP50": round(ap["AP50"], 3),
+        "AP75": round(ap["AP75"], 3), "AR": round(ap["AR"], 3),
+        "det_P": round(float(np.mean([s["det_precision"] for s in det])), 3),
+        "det_R": round(float(np.mean([s["det_recall"] for s in det])), 3),
+        "seg_P": round(float(np.mean(
+            [np.median(s["seg_precision"]) for s in det])), 3),
+        "seg_R": round(float(np.mean(
+            [np.median(s["seg_recall"]) for s in det])), 3),
+        "sec": round(dt, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--dataset", default="powder_particle",
+                    choices=sorted(DATASETS))
+    ap.add_argument("--modes", default="bf16",
+                    help="comma list of: bf16, int8 (mask head), "
+                         "int8bb (backbone+neck+mask head; FrozenBN only)")
+    ap.add_argument("--detections", type=int, default=None)
+    ap.add_argument("--mask-cap", type=int, default=0,
+                    help="cfg.TPU.MASK_CAPACITY_PER_IMAGE for every mode")
+    ap.add_argument("--tta", action="store_true",
+                    help="add a TTA row (flips + --tta-scales) per mode")
+    ap.add_argument("--tta-scales", default=None)
+    args = ap.parse_args()
+
+    reg = register(args.dataset)
+    detections = args.detections or (
+        150 if args.dataset == "powder_satellite" else 400)
+    scales = (tuple(int(s) for s in args.tta_scales.split(","))
+              if args.tta_scales else None)
+
+    rows = {}
+    for mode in args.modes.split(","):
+        cfg = build_cfg(args.ckpt, detections)
+        if args.mask_cap:
+            cfg.TPU.MASK_CAPACITY_PER_IMAGE = args.mask_cap
+        if mode in ("int8", "int8bb"):
+            cfg.TPU.INT8_MASK_HEAD = "static"
+        if mode == "int8bb":
+            cfg.TPU.INT8_BACKBONE = "static"
+            cfg.TPU.INT8_NECK = "static"
+        rows[mode] = evaluate(cfg, reg)
+        print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
+        if args.tta:
+            rows[mode + "+tta"] = evaluate(cfg, reg, tta=True,
+                                           tta_scales=scales)
+            print(f"{args.dataset} [{mode}+tta] {rows[mode + '+tta']}",
+                  flush=True)
+    print(json.dumps({"ckpt": args.ckpt, "dataset": args.dataset,
+                      "mask_cap": args.mask_cap, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
