@@ -524,3 +524,48 @@ def test_int8_neck_calib_static_roundtrip():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
         assert err < 0.1, err
+
+
+def test_param_labels_norm_group():
+    """Trainable norm affines land in the 'norm' optimizer group (decayed
+    with SOLVER.WEIGHT_DECAY_NORM=0 by default) and freezing rules match
+    trainable_mask."""
+    from ampis_tpu.engine.trainer import param_labels
+    kw = dict(num_classes=1, detections_per_image=8, pre_nms_topk_test=64,
+              post_nms_topk_test=32, roi_chunk=32, fused_roi=False)
+    params = init_params(MaskRCNN(backbone_norm="GN", **kw),
+                         jax.random.PRNGKey(0))
+    labels = param_labels(params, freeze_at=0, train_norm=True)
+    found = {"norm": 0, "trainable": 0, "frozen": 0}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            found[node] += 1
+            if "norm" in path:
+                assert node == "norm", path
+            else:
+                assert node == "trainable", path
+
+    walk(labels, ())
+    assert found["norm"] > 0 and found["trainable"] > 0
+    assert found["frozen"] == 0  # freeze_at=0 + train_norm
+
+    # FrozenBN inference-style: norm affines frozen, stem/res2 frozen
+    labels2 = param_labels(params, freeze_at=2, train_norm=False)
+
+    def walk2(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk2(v, path + (k,))
+        elif "norm" in path or "stem" in path or any(
+                p.startswith("res2") for p in path):
+            assert node == "frozen", path
+
+    walk2(labels2, ())
+    # consistency with trainable_mask
+    mask = trainable_mask(params, freeze_at=2, train_norm=False)
+    lab_frozen = jax.tree.map(lambda s: s == "frozen", labels2)
+    assert jax.tree.map(lambda a, b: a == (not b), mask, lab_frozen)
