@@ -195,6 +195,12 @@ def get_cfg() -> CfgNode:
     c.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
     c.MODEL.ROI_MASK_HEAD.CONV_DIM = 256
     c.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    # auxiliary mask boundary loss (arXiv:1809.07069 "edge agreement"):
+    # weight for an L2 loss between Sobel edge maps of the predicted mask
+    # probabilities and of the GT mask. 0 = off (detectron2 parity);
+    # sharpens boundaries / speeds mask convergence when training from
+    # scratch.
+    c.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = 0.0
     c.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
     c.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
 

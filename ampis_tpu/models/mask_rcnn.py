@@ -70,6 +70,9 @@ class MaskRCNN(nn.Module):
     nms_thresh: float = 0.5
     detections_per_image: int = 100
     mask_rois_per_image: int = 128
+    # auxiliary mask boundary loss weight (0 = off): L2 Sobel edge
+    # agreement, arXiv:1809.07069 (cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT)
+    edge_agreement: float = 0.0
     # Inference mask-stage capacity (cfg.TPU.MASK_CAPACITY_PER_IMAGE):
     # the detection stage keeps detections_per_image static slots per
     # image, but real workloads fill only ~50-70% of them (the shipped
@@ -508,17 +511,24 @@ class MaskRCNN(nn.Module):
         def mask_loss_one(ml, mt, cls, val):
             return mask_head_loss(ml, mt, cls, val)
 
+        ml_per_img = mask_logits.reshape(b, m, out_res, out_res, -1)
         loss_mask = jax.vmap(mask_loss_one)(
-            mask_logits.reshape(b, m, out_res, out_res, -1), mask_targets,
-            fg["classes"], fg["valid"])
+            ml_per_img, mask_targets, fg["classes"], fg["valid"])
 
-        return {
+        losses = {
             "loss_rpn_cls": jnp.mean(rpn_loss["loss_rpn_cls"]),
             "loss_rpn_loc": jnp.mean(rpn_loss["loss_rpn_loc"]),
             "loss_cls": jnp.mean(box_loss["loss_cls"]),
             "loss_box_reg": jnp.mean(box_loss["loss_box_reg"]),
             "loss_mask": jnp.mean(loss_mask),
         }
+        if self.edge_agreement:
+            from .roi_heads import edge_agreement_loss
+            loss_edge = jax.vmap(edge_agreement_loss)(
+                ml_per_img, mask_targets, fg["classes"], fg["valid"])
+            losses["loss_mask_edge"] = (jnp.mean(loss_edge)
+                                        * self.edge_agreement)
+        return losses
 
 
 def _check_int8_backbone(mode, norm_type):
@@ -576,6 +586,8 @@ def build_model(cfg) -> MaskRCNN:
         int8_neck=getattr(cfg.TPU, "INT8_NECK", False),
         mask_capacity_per_image=getattr(
             cfg.TPU, "MASK_CAPACITY_PER_IMAGE", 0) or 0,
+        edge_agreement=float(getattr(cfg.MODEL.ROI_MASK_HEAD,
+                                     "EDGE_AGREEMENT", 0.0) or 0.0),
     )
 
 

@@ -322,3 +322,38 @@ def mask_head_loss(mask_logits, mask_targets, fg_classes, fg_valid):
     per_roi = jnp.mean(bce, axis=(1, 2))
     return jnp.sum(jnp.where(fg_valid, per_roi, 0.0)) / jnp.maximum(
         jnp.sum(fg_valid), 1)
+
+
+def _sobel_maps(x):
+    """(M, S, S) -> (M, S-2, S-2, 2) Sobel gradient maps.
+
+    VALID padding: zero-padding a constant map would fabricate border
+    edges that leak into the loss; the interior is what boundary
+    agreement is about.
+    """
+    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0],
+                      [-1.0, 0.0, 1.0]], x.dtype)
+    k = jnp.stack([kx, kx.T], axis=-1)[:, :, None, :]  # (3, 3, 1, 2)
+    return jax.lax.conv_general_dilated(
+        x[..., None], k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def edge_agreement_loss(mask_logits, mask_targets, fg_classes, fg_valid):
+    """Auxiliary mask boundary loss (Zimmermann & Siems 2018, "Faster
+    Training of Mask R-CNN by Focusing on Instance Boundaries",
+    arXiv:1809.07069): L2 between Sobel edge maps of the predicted mask
+    probabilities and of the ground-truth mask. Sharpens mask boundaries
+    and speeds mask-head convergence; weighted into loss_mask via
+    cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT.
+    """
+    c = mask_logits.shape[-1]
+    cls = jnp.clip(fg_classes, 0, c - 1)
+    logits = jnp.take_along_axis(
+        mask_logits, cls[:, None, None, None], axis=3)[..., 0]
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    diff = _sobel_maps(probs) - _sobel_maps(
+        mask_targets.astype(jnp.float32))
+    per_roi = jnp.mean(jnp.square(diff), axis=(1, 2, 3))
+    return jnp.sum(jnp.where(fg_valid, per_roi, 0.0)) / jnp.maximum(
+        jnp.sum(fg_valid), 1)

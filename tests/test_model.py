@@ -569,3 +569,57 @@ def test_param_labels_norm_group():
     mask = trainable_mask(params, freeze_at=2, train_norm=False)
     lab_frozen = jax.tree.map(lambda s: s == "frozen", labels2)
     assert jax.tree.map(lambda a, b: a == (not b), mask, lab_frozen)
+
+
+def test_edge_agreement_loss():
+    """Sobel edge-agreement aux loss: zero for flat maps, small when
+    prediction matches the target, larger when boundaries disagree."""
+    from ampis_tpu.models.roi_heads import _sobel_maps, edge_agreement_loss
+    # constant map -> zero gradients everywhere
+    flat = _sobel_maps(jnp.ones((1, 8, 8)))
+    np.testing.assert_allclose(np.asarray(flat), 0.0)
+
+    t = np.zeros((2, 28, 28), np.float32)
+    t[:, 8:20, 8:20] = 1.0
+    targets = jnp.asarray(t)
+    cls = jnp.zeros((2,), jnp.int32)
+    val = jnp.ones((2,), bool)
+    match = (jnp.asarray(t)[..., None] * 2 - 1) * 12.0  # sharp correct logits
+    miss = jnp.roll(match, 6, axis=2)                   # shifted boundary
+    l_match = float(edge_agreement_loss(match, targets, cls, val))
+    l_miss = float(edge_agreement_loss(miss, targets, cls, val))
+    assert l_match < 0.02
+    assert l_miss > 5 * l_match
+    # invalid RoIs contribute nothing
+    l_none = float(edge_agreement_loss(miss, targets, cls,
+                                       jnp.zeros((2,), bool)))
+    assert l_none == 0.0
+
+
+def test_edge_agreement_in_loss_dict():
+    kw = dict(num_classes=1, detections_per_image=8, pre_nms_topk_train=64,
+              post_nms_topk_train=32, roi_batch_per_image=16,
+              mask_rois_per_image=4, roi_chunk=32, fused_roi=False)
+    import numpy as onp
+    rng = onp.random.RandomState(0)
+    b, h, w, g = 1, 64, 64, 4
+    images = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    sizes = jnp.asarray([[h, w]], jnp.float32)
+    gt_boxes = jnp.asarray([[[8, 8, 40, 40], [20, 20, 60, 50],
+                             [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32)
+    gt_classes = jnp.zeros((b, g), jnp.int32)
+    gt_valid = jnp.asarray([[True, True, False, False]])
+    masks = onp.zeros((b, g, h, w), onp.uint8)
+    masks[:, 0, 8:40, 8:40] = 1
+    masks[:, 1, 20:50, 20:60] = 1
+    gt_masks = jnp.asarray(masks)
+
+    for weight, has_edge in ((0.0, False), (0.5, True)):
+        model = MaskRCNN(edge_agreement=weight, **kw)
+        params = init_params(model, jax.random.PRNGKey(0))
+        losses = jax.jit(lambda p, im: model.apply(
+            p, im, sizes, gt_boxes, gt_classes, gt_valid, gt_masks,
+            jax.random.PRNGKey(1), method=MaskRCNN.losses))(params, images)
+        assert ("loss_mask_edge" in losses) == has_edge
+        if has_edge:
+            assert np.isfinite(float(losses["loss_mask_edge"]))
