@@ -148,6 +148,10 @@ def main():
                     help="EMA decay for shadow weights (cfg.SOLVER."
                          "EMA_DECAY, e.g. 0.999); checkpoints carry both "
                          "and inference prefers the EMA weights")
+    ap.add_argument("--edge-loss", type=float, default=0.0,
+                    help="edge-agreement auxiliary mask loss weight "
+                         "(cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT, "
+                         "arXiv:1809.07069; try 0.5)")
     ap.add_argument("--sat-native", action="store_true",
                     help="satellite tiny-object recipe: anchors fit to "
                          "the satellite GT size distribution (sqrt-area "
@@ -211,6 +215,8 @@ def main():
                 float(s) for s in args.copy_paste_scale.split(","))
         if args.crop:
             cfg.INPUT.CROP_SIZE = args.crop
+        if args.edge_loss:
+            cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:

@@ -64,6 +64,9 @@ def main():
                          "(cfg.INPUT.CROP_SIZE)")
     ap.add_argument("--tta", action="store_true",
                     help="flip TTA at inference (engine.tta.TTAPredictor)")
+    ap.add_argument("--edge-loss", type=float, default=0.0,
+                    help="edge-agreement aux mask loss weight "
+                         "(cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT)")
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB "
                          "(cfg.TPU.DEVICE_DATA_CACHE_MB)")
@@ -114,6 +117,8 @@ def main():
                 float(s) for s in args.copy_paste_scale.split(","))
         if args.crop:
             cfg.INPUT.CROP_SIZE = args.crop
+        if args.edge_loss:
+            cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:
