@@ -140,6 +140,14 @@ def main():
                          "per train variant at native scale "
                          "(cfg.INPUT.CROP_SIZE; pair with --min-sizes "
                          "near CROP for native-resolution training)")
+    ap.add_argument("--min-size-test", type=int, default=0,
+                    help="inference shortest-edge target (cfg.INPUT."
+                         "MIN_SIZE_TEST; MAX_SIZE_TEST scales by the "
+                         "same factor). Crop training at native scale "
+                         "needs native-resolution inference to match "
+                         "the trained object-size distribution, e.g. "
+                         "--crop 704 --min-sizes 576,640,704 "
+                         "--min-size-test 1024")
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB (cfg.TPU."
                          "DEVICE_DATA_CACHE_MB; raise when rotation x "
@@ -215,6 +223,11 @@ def main():
                 float(s) for s in args.copy_paste_scale.split(","))
         if args.crop:
             cfg.INPUT.CROP_SIZE = args.crop
+        if args.min_size_test:
+            cfg.INPUT.MAX_SIZE_TEST = int(round(
+                cfg.INPUT.MAX_SIZE_TEST
+                * args.min_size_test / cfg.INPUT.MIN_SIZE_TEST))
+            cfg.INPUT.MIN_SIZE_TEST = args.min_size_test
         if args.edge_loss:
             cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
         if args.cache_mb:

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--crop", type=int, default=0,
                     help="native-scale crop training window "
                          "(cfg.INPUT.CROP_SIZE)")
+    ap.add_argument("--min-size-test", type=int, default=0,
+                    help="inference shortest-edge target (cfg.INPUT."
+                         "MIN_SIZE_TEST; MAX_SIZE_TEST scales by the "
+                         "same factor) — pair native-scale crop "
+                         "training with native-resolution inference")
     ap.add_argument("--tta", action="store_true",
                     help="flip TTA at inference (engine.tta.TTAPredictor)")
     ap.add_argument("--edge-loss", type=float, default=0.0,
@@ -117,6 +122,11 @@ def main():
                 float(s) for s in args.copy_paste_scale.split(","))
         if args.crop:
             cfg.INPUT.CROP_SIZE = args.crop
+        if args.min_size_test:
+            cfg.INPUT.MAX_SIZE_TEST = int(round(
+                cfg.INPUT.MAX_SIZE_TEST
+                * args.min_size_test / cfg.INPUT.MIN_SIZE_TEST))
+            cfg.INPUT.MIN_SIZE_TEST = args.min_size_test
         if args.edge_loss:
             cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
         if args.cache_mb:
