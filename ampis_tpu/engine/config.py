@@ -344,7 +344,10 @@ def get_cfg() -> CfgNode:
     # batches assemble on-device — zero steady-state host->device data
     # traffic (and a workaround for remote-transport clients that leak
     # the transferred bytes per upload). 0 disables (stream every batch).
-    c.TPU.DEVICE_DATA_CACHE_MB = 2048
+    # 4096 covers the full rotation x scale x flip x copy-paste powder
+    # recipe (480 variants x ~4.3 MB); overflow falls back to a
+    # host-side materialization cache + per-draw upload.
+    c.TPU.DEVICE_DATA_CACHE_MB = 4096
 
     return c
 

@@ -114,6 +114,25 @@ class DetectionLoader:
     def __len__(self):
         return len(self.ddicts)
 
+    def n_variants(self):
+        """Distinct (image, min_size, aug code) sample variants this
+        loader can emit — the device cache's working-set size."""
+        codes = ((2 if self.flip_h else 1) * (2 if self.flip_v else 1)
+                 * max(len(self.angles), 1))
+        return len(self.ddicts) * len(self.min_sizes) * codes
+
+    def variant_nbytes(self):
+        """Per-variant host->device footprint in bytes (static shapes)."""
+        h, w = self.crop or self.raw_shape
+        n = h * w * 3                                   # raw uint8 image
+        g = self.max_gt
+        n += g * (4 * 4 + 4 + 1)                        # boxes/classes/valid
+        if self.mask_canvas:
+            n += g * (self.mask_canvas ** 2 + 4 * 4)    # crops + meta
+        else:
+            n += g * self.canvas[0] * self.canvas[1]
+        return n + 8                                    # image_hw
+
     @staticmethod
     def _scaled_bbox(a, sx, sy):
         bbox = np.asarray(a["bbox"], np.float64)

@@ -22,8 +22,13 @@ Why this is the default:
   distinct sample makes host memory flat.
 
 Bounded by cfg.TPU.DEVICE_DATA_CACHE_MB: once the cap is reached, new
-variants stream per-step (with a one-time warning) instead of evicting —
-re-uploading evicted entries would defeat both points above.
+variants fall back to a host-side materialization cache (one-time
+warning) and re-upload on each draw — an upload (~4 MB through the
+tunnel) costs milliseconds where re-running the host augmentation
+pipeline (rotation + copy-paste at full resolution) costs seconds, so
+overflow degrades to streaming, never to re-materializing. Eviction is
+still avoided — re-uploading evicted *device* entries would reintroduce
+per-step transfers for the hot set.
 
 Data parallelism: with a mesh, samples are cached replicated-on-host?
 No — the trainer only routes through DeviceBatcher for single-device
@@ -47,15 +52,30 @@ class DeviceBatcher:
     transfer pattern change.
     """
 
-    def __init__(self, loader, max_bytes: int = 2 << 30):
+    def __init__(self, loader, max_bytes: int = 2 << 30,
+                 host_max_bytes: int = 8 << 30):
         self.loader = loader
         self.max_bytes = max_bytes
+        self.host_max_bytes = host_max_bytes
         self._cache = {}   # (idx, min_size, flip) -> ({k: jax.Array}, ns)
         self._bytes = 0
+        # overflow: key -> ({k: np.ndarray}, ns); bounded FIFO
+        self._host_cache = {}
+        self._host_bytes = 0
         self._warned = False
         self._stack = jax.jit(
             lambda entries: jax.tree.map(lambda *xs: jnp.stack(xs),
                                          *entries))
+        total = loader.n_variants() * loader.variant_nbytes()
+        if total > self.max_bytes:
+            warnings.warn(
+                f"training working set ({loader.n_variants()} variants, "
+                f"~{total >> 20} MB) exceeds the device data cache cap "
+                f"({self.max_bytes >> 20} MB; cfg.TPU."
+                f"DEVICE_DATA_CACHE_MB) — overflow variants re-upload "
+                f"every draw; raise the cap to "
+                f"{((total >> 20) // 512 + 2) * 512} MB to cache all of "
+                f"them in HBM", stacklevel=3)
 
     @property
     def n_cached(self):
@@ -72,20 +92,34 @@ class DeviceBatcher:
         entry = self._cache.get(key)
         if entry is not None:
             return entry
-        arrays, new_shape = self.loader.sample(*key)
+        host = self._host_cache.get(key)
+        if host is not None:
+            arrays, new_shape = host
+        else:
+            arrays, new_shape = self.loader.sample(*key)
         nbytes = sum(a.nbytes for a in arrays.values())
         entry = ({k: jax.device_put(v) for k, v in arrays.items()},
                  new_shape)
         if self._bytes + nbytes <= self.max_bytes:
             self._cache[key] = entry
             self._bytes += nbytes
-        elif not self._warned:
+            if host is not None:
+                del self._host_cache[key]
+                self._host_bytes -= nbytes
+            return entry
+        # device cap reached: keep the *materialized host arrays* so the
+        # expensive augmentation pipeline never re-runs; each draw pays
+        # only the upload
+        if not self._warned:
             self._warned = True
             warnings.warn(
                 f"device data cache full ({self._bytes >> 20} MB cached, "
                 f"cap {self.max_bytes >> 20} MB; cfg.TPU."
-                f"DEVICE_DATA_CACHE_MB): further distinct samples stream "
-                f"host->device every step", stacklevel=2)
+                f"DEVICE_DATA_CACHE_MB): further distinct samples are "
+                f"host-cached and re-uploaded each step", stacklevel=2)
+        if host is None and self._host_bytes + nbytes <= self.host_max_bytes:
+            self._host_cache[key] = (arrays, new_shape)
+            self._host_bytes += nbytes
         return entry
 
     def infinite(self):

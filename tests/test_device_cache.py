@@ -104,6 +104,52 @@ def test_cap_streams_with_one_warning(ddicts):
         next(it_c)
 
 
+def test_cap_overflow_materializes_once(ddicts):
+    """Over-cap variants come from the host-side materialization cache:
+    the expensive augmentation pipeline runs once per variant even when
+    HBM residency is exhausted (each draw then pays only the upload)."""
+    cfg = _cfg()
+    loader = DetectionLoader(ddicts, cfg, train=True, seed=5)
+    calls = {}
+    orig = loader.sample
+
+    def counting_sample(idx, min_size, flip=False):
+        key = (int(idx), int(min_size), int(flip))
+        calls[key] = calls.get(key, 0) + 1
+        return orig(idx, min_size, flip=flip)
+
+    loader.sample = counting_sample
+    batcher = DeviceBatcher(loader, max_bytes=1)
+    it = batcher.infinite()
+    with pytest.warns(UserWarning):
+        for _ in range(25):
+            next(it)
+    assert batcher.n_cached == 0
+    assert calls and all(v == 1 for v in calls.values()), calls
+    # and batches still match the plain streaming loader bit-for-bit
+    stream = DetectionLoader(ddicts, cfg, train=True, seed=5)
+    it_s = stream.infinite(prefetch=0)
+    it_c = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True, seed=5),
+                         max_bytes=1).infinite()
+    with pytest.warns(UserWarning):
+        for _ in range(6):
+            bs, bc = next(it_s), next(it_c)
+            for k in ARRAY_KEYS:
+                np.testing.assert_array_equal(np.asarray(bs[k]),
+                                              np.asarray(bc[k]))
+
+
+def test_footprint_estimate_matches_measured(ddicts):
+    """variant_nbytes() (the upfront cap-sizing warning's estimate) is
+    the true per-variant host->device footprint."""
+    cfg = _cfg()
+    loader = DetectionLoader(ddicts, cfg, train=True, seed=0)
+    arrays, _ = loader.sample(0, loader.min_sizes[0], flip=0)
+    measured = sum(a.nbytes for a in arrays.values())
+    assert loader.variant_nbytes() == measured
+    assert loader.n_variants() == len(ddicts) * len(loader.min_sizes) * 2
+
+
 def test_validation_single_pass_unchanged(ddicts):
     """__iter__ (validation path) is untouched by the refactor."""
     cfg = _cfg()
