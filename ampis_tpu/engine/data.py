@@ -447,13 +447,20 @@ class DetectionLoader:
         annos = ddict.get("annotations", [])
         rng = (self._variant_rng(idx, min_size, flip)
                if (self.paste_p or self.crop) else None)
-        if self.paste_p and rng.rand() < self.paste_p:
-            img, annos = self._copy_paste(img.copy(), annos, rng)
+        # rotation BEFORE copy-paste: rotating polygon GT is analytic
+        # (matrix multiply), while pasted/occluded instances carry RLE
+        # segmentations whose rotation dense-decodes a full-resolution
+        # plane per instance — paste-then-rotate costs ~10 s/variant on
+        # the high-density powder images, rotate-then-paste ~1 s. Both
+        # orders are equally valid augmentation laws (pastes land
+        # axis-aligned in the rotated frame).
         angle_idx = int(flip) >> 2
         if self.angles and angle_idx < len(self.angles) \
                 and self.angles[angle_idx]:
             img, annos = self._rotate_sample(img, annos,
                                              self.angles[angle_idx])
+        if self.paste_p and rng.rand() < self.paste_p:
+            img, annos = self._copy_paste(img.copy(), annos, rng)
         if self.crop:
             img, annos = self._crop_sample(img, annos, rng)
 
