@@ -53,6 +53,9 @@ def main():
                          "the shipped sample prediction pickles are used")
     ap.add_argument("--train", action="store_true",
                     help="fine-tune on the training split before predicting")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --train: resume from the latest checkpoint "
+                         "in the output dir instead of starting fresh")
     ap.add_argument("--max-iter", type=int, default=2000,
                     help="training iterations (reference recipe: 2000)")
     ap.add_argument("--lr", type=float, default=2.5e-4,
@@ -309,7 +312,7 @@ def main():
             cfg.OUTPUT_DIR = str(outdir / train_dir)
             from ampis_tpu.data_utils import AmpisTrainer
             trainer = AmpisTrainer(cfg)
-            trainer.resume_or_load(resume=False)
+            trainer.resume_or_load(resume=args.resume)
             trainer.train()
             from ampis_tpu.engine.checkpoint import latest_checkpoint
             cfg.MODEL.WEIGHTS = str(latest_checkpoint(cfg.OUTPUT_DIR))
