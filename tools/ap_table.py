@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="add a TTA row (flips + --tta-scales) per mode")
     ap.add_argument("--tta-scales", default=None)
+    ap.add_argument("--pixel-stats", default=None,
+                    help="'MEAN,STD' override for checkpoints that predate "
+                         "the saved train config.json (applied to all 3 "
+                         "channels)")
     args = ap.parse_args()
 
     reg = register(args.dataset)
@@ -127,6 +131,10 @@ def main():
     rows = {}
     for mode in args.modes.split(","):
         cfg = build_cfg(args.ckpt, detections)
+        if args.pixel_stats:
+            mean, std = (float(v) for v in args.pixel_stats.split(","))
+            cfg.MODEL.PIXEL_MEAN = [mean] * 3
+            cfg.MODEL.PIXEL_STD = [std] * 3
         if args.mask_cap:
             cfg.TPU.MASK_CAPACITY_PER_IMAGE = args.mask_cap
         if mode in ("int8", "int8bb"):
