@@ -116,6 +116,15 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="add a TTA row (flips + --tta-scales) per mode")
     ap.add_argument("--tta-scales", default=None)
+    ap.add_argument("--min-size-test", type=int, default=0,
+                    help="override cfg.INPUT.MIN_SIZE_TEST (e.g. 1024 = "
+                         "native resolution for the 1536x1024 powder "
+                         "images; crop-trained models see native-scale "
+                         "objects in training)")
+    ap.add_argument("--max-size-test", type=int, default=0,
+                    help="raise cfg.INPUT.MAX_SIZE_TEST (upscale TTA "
+                         "scales above the native shortest edge are "
+                         "otherwise clipped by the saved max size)")
     ap.add_argument("--pixel-stats", default=None,
                     help="'MEAN,STD' override for checkpoints that predate "
                          "the saved train config.json (applied to all 3 "
@@ -137,6 +146,13 @@ def main():
             cfg.MODEL.PIXEL_STD = [std] * 3
         if args.mask_cap:
             cfg.TPU.MASK_CAPACITY_PER_IMAGE = args.mask_cap
+        if args.min_size_test:
+            cfg.INPUT.MAX_SIZE_TEST = int(round(
+                cfg.INPUT.MAX_SIZE_TEST
+                * args.min_size_test / cfg.INPUT.MIN_SIZE_TEST))
+            cfg.INPUT.MIN_SIZE_TEST = args.min_size_test
+        if args.max_size_test:
+            cfg.INPUT.MAX_SIZE_TEST = args.max_size_test
         if mode in ("int8", "int8bb"):
             cfg.TPU.INT8_MASK_HEAD = "static"
         if mode == "int8bb":
