@@ -33,7 +33,7 @@ DATASETS = {
                          "via_powder_satellite_masks_validation.json", {}),
     "spheroidite": ("binary", DATA / "spheroidite/data/images",
                     {"ann_root": DATA / "spheroidite/data/annotations",
-                     "pattern": "micrograph*"}),
+                     "pattern": "valid_*"}),
 }
 
 
