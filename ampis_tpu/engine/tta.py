@@ -44,6 +44,84 @@ def greedy_nms(boxes, scores, iou_threshold):
     return np.asarray(keep, np.int64)
 
 
+def _resample_crop(mask, src_box, dst_box):
+    """Resample an (mh, mw) soft crop defined over src_box onto the
+    same-resolution grid over dst_box.
+
+    Uses the paste convention (ops/paste.py: grid cell k's center sits at
+    box0 + (k+0.5)*extent/m, torch grid_sample align_corners=False);
+    samples outside the source box are 0. Pure numpy — voting clusters
+    are tiny (~#views members) so this never needs the device.
+    """
+    mh, mw = mask.shape
+    sx0, sy0, sx1, sy1 = src_box
+    dx0, dy0, dx1, dy1 = dst_box
+    us = dx0 + (np.arange(mw, dtype=np.float32) + 0.5) \
+        * max(dx1 - dx0, 1e-9) / mw
+    vs = dy0 + (np.arange(mh, dtype=np.float32) + 0.5) \
+        * max(dy1 - dy0, 1e-9) / mh
+    fx = (us - sx0) / max(sx1 - sx0, 1e-9) * mw - 0.5
+    fy = (vs - sy0) / max(sy1 - sy0, 1e-9) * mh - 0.5
+
+    def axis(f, size):
+        lo = np.floor(f).astype(np.int64)
+        frac = (f - lo).astype(np.float32)
+        ok0 = (lo >= 0) & (lo < size)
+        ok1 = (lo + 1 >= 0) & (lo + 1 < size)
+        return (np.clip(lo, 0, size - 1), np.clip(lo + 1, 0, size - 1),
+                frac, ok0, ok1)
+
+    y0, y1, wy, oy0, oy1 = axis(fy, mh)
+    x0, x1, wx, ox0, ox1 = axis(fx, mw)
+    r0 = mask[y0] * oy0[:, None]
+    r1 = mask[y1] * oy1[:, None]
+    rows = r0 * (1 - wy)[:, None] + r1 * wy[:, None]
+    c0 = rows[:, x0] * ox0[None, :]
+    c1 = rows[:, x1] * ox1[None, :]
+    return c0 * (1 - wx)[None, :] + c1 * wx[None, :]
+
+
+def vote_merge(boxes, scores, masks, keep, vote_iou):
+    """Score-weighted box + mask voting over each kept detection's cluster.
+
+    For every kept index i, the cluster is all candidates whose IoU with
+    box i is >= vote_iou (boxes must already be class-offset so clusters
+    never cross classes). The merged box is the score-weighted mean of
+    cluster boxes; the merged soft mask is the score-weighted mean of the
+    cluster's crops resampled onto the merged box. NMS alone keeps one
+    view's geometry per detection — voting pools the localization evidence
+    of all ~#views redundant detections of the same object.
+
+    Returns (voted_boxes (K, 4), voted_masks (K, mh, mw)).
+    """
+    kb = boxes[keep]                                   # (K, 4)
+    x0, y0, x1, y1 = boxes.T
+    areas = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+    iw = np.maximum(np.minimum(kb[:, 2:3], x1[None, :])
+                    - np.maximum(kb[:, 0:1], x0[None, :]), 0)
+    ih = np.maximum(np.minimum(kb[:, 3:4], y1[None, :])
+                    - np.maximum(kb[:, 1:2], y0[None, :]), 0)
+    inter = iw * ih                                    # (K, N)
+    karea = np.maximum(kb[:, 2] - kb[:, 0], 0) \
+        * np.maximum(kb[:, 3] - kb[:, 1], 0)
+    iou = inter / np.maximum(karea[:, None] + areas[None, :] - inter, 1e-9)
+    w = scores[None, :] * (iou >= vote_iou)            # (K, N)
+    wsum = np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+    voted_boxes = (w @ boxes) / wsum                   # (K, 4)
+
+    voted_masks = np.empty((len(keep),) + masks.shape[1:], np.float32)
+    for r, i in enumerate(keep):
+        members = np.nonzero(w[r])[0]
+        if members.size == 0:
+            members = np.asarray([i])
+        acc = np.zeros(masks.shape[1:], np.float32)
+        for j in members:
+            acc += w[r, j] * _resample_crop(masks[j], boxes[j],
+                                            voted_boxes[r])
+        voted_masks[r] = acc / wsum[r, 0]
+    return voted_boxes, voted_masks
+
+
 class TTAPredictor:
     """DefaultPredictor wrapper producing merged multi-view predictions.
 
@@ -56,10 +134,13 @@ class TTAPredictor:
     vflip: also add vertically flipped views (microscopy images are
         orientation-free; detectron2's TTA only flips horizontally).
     nms_thresh: merge NMS IoU; default cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST.
+    vote_iou: if > 0, replace each surviving detection's box/mask with the
+        score-weighted vote of its cluster (all candidates at IoU >=
+        vote_iou) instead of keeping only the top view's geometry.
     """
 
     def __init__(self, cfg, min_sizes=None, flip=True, vflip=False,
-                 nms_thresh=None, predictor=None):
+                 nms_thresh=None, predictor=None, vote_iou=0.0):
         self.predictor = predictor or DefaultPredictor(cfg)
         self.cfg = self.predictor.cfg
         self.min_sizes = [int(s) for s in
@@ -73,6 +154,7 @@ class TTAPredictor:
                                 if nms_thresh is not None
                                 else cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
         self.max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        self.vote_iou = float(vote_iou)
 
     def __call__(self, original_image: np.ndarray):
         h0, w0 = original_image.shape[:2]
@@ -116,8 +198,23 @@ class TTAPredictor:
         # classes (single-class datasets pass through unchanged)
         offset = (classes.astype(np.float32)[:, None]
                   * (max(h0, w0) + 1.0)) if classes.size else 0.0
-        keep = greedy_nms(boxes + offset, scores, self.nms_thresh)
+        obias = boxes + offset
+        keep = greedy_nms(obias, scores, self.nms_thresh)
         keep = keep[:self.max_dets]
+
+        if self.vote_iou > 0 and keep.size:
+            # voting is offset-invariant (a shared shift of src and dst
+            # boxes cancels in the crop resampling), so run it on the
+            # class-offset boxes and un-shift the result
+            kept_boxes, kept_masks = vote_merge(
+                obias, scores, masks, keep, self.vote_iou)
+            kept_boxes = kept_boxes - (offset[keep]
+                                       if np.ndim(offset) else offset)
+            inst = Instances(
+                (h0, w0), pred_boxes=kept_boxes.astype(np.float32),
+                scores=scores[keep], pred_classes=classes[keep],
+                pred_masks=SoftMasks(kept_masks, kept_boxes, (h0, w0)))
+            return {"instances": inst}
 
         kept_boxes = boxes[keep]
         inst = Instances(

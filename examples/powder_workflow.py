@@ -180,6 +180,8 @@ def main():
     ap.add_argument("--tta-scales", default=None,
                     help="comma-separated TTA shortest-edge scales "
                          "(default: MIN_SIZE_TEST only, flips-only TTA)")
+    ap.add_argument("--tta-vote", type=float, default=0.0,
+                    help="TTA box+mask voting IoU (0 = plain NMS merge)")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -323,7 +325,7 @@ def main():
             scales = (tuple(int(s) for s in args.tta_scales.split(","))
                       if args.tta_scales else None)
             predictor = TTAPredictor(cfg, min_sizes=scales, flip=True,
-                                     vflip=True)
+                                     vflip=True, vote_iou=args.tta_vote)
         else:
             predictor = DefaultPredictor(cfg)
         results = []

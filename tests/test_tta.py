@@ -124,3 +124,70 @@ def test_max_detections_cap():
     tta = TTAPredictor(cfg, predictor=ManyBox(), flip=False)
     out = tta(np.zeros((20, 20, 3), np.uint8))["instances"]
     assert len(out.scores) == 1 and out.scores[0] == np.float32(0.9)
+
+
+def test_resample_crop_identity_and_paste_oracle():
+    from ampis_tpu.engine.tta import _resample_crop
+    rng = np.random.RandomState(3)
+    mask = rng.rand(28, 28).astype(np.float32)
+    src = np.array([3.2, 5.7, 21.9, 17.3], np.float32)
+    # same box -> exact identity (grid centers land on themselves)
+    np.testing.assert_allclose(_resample_crop(mask, src, src), mask,
+                               atol=1e-5)
+    # oracle: paste the crop onto a 28x28 image; with dst box (0,0,28,28)
+    # the resample grid centers ARE that image's pixel centers, so both
+    # paths evaluate the same bilinear field at the same points
+    import jax
+    from ampis_tpu.ops.paste import paste_masks
+    dense = np.asarray(jax.jit(
+        lambda m, b: paste_masks(m, b, (28, 28), threshold=None))(
+            mask[None], src[None]))[0]
+    ours = _resample_crop(mask, src, np.array([0, 0, 28, 28], np.float32))
+    np.testing.assert_allclose(ours, dense, atol=1e-4)
+
+
+def test_vote_merge_singleton_is_identity():
+    from ampis_tpu.engine.tta import vote_merge
+    rng = np.random.RandomState(0)
+    boxes = np.array([[2.0, 3.0, 12.0, 11.0], [40.0, 40.0, 50.0, 50.0]],
+                     np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    masks = rng.rand(2, 28, 28).astype(np.float32)
+    vb, vm = vote_merge(boxes, scores, masks, np.array([0, 1]), 0.5)
+    np.testing.assert_allclose(vb, boxes, atol=1e-5)
+    np.testing.assert_allclose(vm, masks, atol=1e-5)
+
+
+def test_vote_merge_pools_cluster():
+    from ampis_tpu.engine.tta import vote_merge
+    # two near-identical detections of one object: voted box is the
+    # score-weighted mean; voted mask blends both members
+    boxes = np.array([[0.0, 0.0, 10.0, 10.0], [1.0, 1.0, 11.0, 11.0]],
+                     np.float32)
+    scores = np.array([0.6, 0.4], np.float32)
+    masks = np.stack([np.ones((28, 28), np.float32),
+                      np.zeros((28, 28), np.float32)])
+    vb, vm = vote_merge(boxes, scores, masks, np.array([0]), 0.5)
+    np.testing.assert_allclose(vb[0], 0.6 * boxes[0] + 0.4 * boxes[1],
+                               atol=1e-5)
+    # member 0 contributes ones (weight .6), member 1 zeros: interior of
+    # the voted mask sits around 0.6 (edges lose a little to the 1px
+    # offset resampling out of member 0's box)
+    assert 0.55 <= vm[0, 14, 14] <= 0.61
+
+
+def test_tta_vote_end_to_end():
+    """vote_iou on the 4-view stub: still one detection, same box (all
+    views agree), mask is the blend of all four views' crops."""
+    tta, stub = _make_tta(flip=True, vflip=True)
+    tta.vote_iou = 0.5
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200
+    out = tta(img)["instances"]
+    assert len(out.scores) == 1
+    np.testing.assert_allclose(out.pred_boxes[0], [12, 10, 30, 20],
+                               atol=1e-4)
+    m = np.asarray(out.pred_masks.masks)[0]
+    # views mark left half (identity, v) and right half (h, hv) after
+    # inversion; scores are ~equal so the vote is ~0.5 everywhere
+    assert abs(m[14, 5] - 0.5) < 0.05 and abs(m[14, 22] - 0.5) < 0.05

@@ -66,12 +66,12 @@ def build_cfg(ckpt, detections):
     return cfg
 
 
-def evaluate(cfg, reg_name, tta=False, tta_scales=None):
+def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0):
     from ampis_tpu.utils.io import imread_bgr
     if tta:
         from ampis_tpu.engine.tta import TTAPredictor
         predictor = TTAPredictor(cfg, min_sizes=tta_scales, flip=True,
-                                 vflip=True)
+                                 vflip=True, vote_iou=vote_iou)
     else:
         from ampis_tpu.engine.predictor import DefaultPredictor
         predictor = DefaultPredictor(cfg)
@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="add a TTA row (flips + --tta-scales) per mode")
     ap.add_argument("--tta-scales", default=None)
+    ap.add_argument("--vote", type=float, default=0.0,
+                    help="TTA box+mask voting IoU (engine.tta.vote_merge); "
+                         "0 = keep the top view's geometry (plain NMS)")
     ap.add_argument("--min-size-test", type=int, default=0,
                     help="override cfg.INPUT.MIN_SIZE_TEST (e.g. 1024 = "
                          "native resolution for the 1536x1024 powder "
@@ -161,10 +164,10 @@ def main():
         rows[mode] = evaluate(cfg, reg)
         print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
         if args.tta:
-            rows[mode + "+tta"] = evaluate(cfg, reg, tta=True,
-                                           tta_scales=scales)
-            print(f"{args.dataset} [{mode}+tta] {rows[mode + '+tta']}",
-                  flush=True)
+            key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
+            rows[key] = evaluate(cfg, reg, tta=True, tta_scales=scales,
+                                 vote_iou=args.vote)
+            print(f"{args.dataset} [{key}] {rows[key]}", flush=True)
     print(json.dumps({"ckpt": args.ckpt, "dataset": args.dataset,
                       "mask_cap": args.mask_cap, "rows": rows}))
 
