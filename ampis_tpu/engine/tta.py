@@ -137,11 +137,16 @@ class TTAPredictor:
     vote_iou: if > 0, replace each surviving detection's box/mask with the
         score-weighted vote of its cluster (all candidates at IoU >=
         vote_iou) instead of keeping only the top view's geometry.
+    extra_predictors: additional predictors (e.g. other checkpoints of the
+        same class) whose views join the same merge — a checkpoint/model
+        ensemble through the identical NMS/voting machinery.
     """
 
     def __init__(self, cfg, min_sizes=None, flip=True, vflip=False,
-                 nms_thresh=None, predictor=None, vote_iou=0.0):
+                 nms_thresh=None, predictor=None, vote_iou=0.0,
+                 extra_predictors=()):
         self.predictor = predictor or DefaultPredictor(cfg)
+        self.extra_predictors = list(extra_predictors)
         self.cfg = self.predictor.cfg
         self.min_sizes = [int(s) for s in
                           (min_sizes or [cfg.INPUT.MIN_SIZE_TEST])]
@@ -159,35 +164,40 @@ class TTAPredictor:
     def __call__(self, original_image: np.ndarray):
         h0, w0 = original_image.shape[:2]
         boxes, scores, classes, masks = [], [], [], []
-        base_min_size = self.cfg.INPUT.MIN_SIZE_TEST
+        predictors = [self.predictor] + self.extra_predictors
+        saved_sizes = [p.cfg.INPUT.MIN_SIZE_TEST for p in predictors]
         try:
             for ms in self.min_sizes:
                 # per-scale resize target; DefaultPredictor's per-shape
                 # compile cache turns each distinct scale into one graph
-                self.cfg.INPUT.MIN_SIZE_TEST = ms
+                for p in predictors:
+                    p.cfg.INPUT.MIN_SIZE_TEST = ms
                 for fh, fv in self.flips:
                     view = original_image
                     if fh:
                         view = view[:, ::-1]
                     if fv:
                         view = view[::-1]
-                    inst = self.predictor(
-                        np.ascontiguousarray(view))["instances"]
-                    b = np.asarray(inst.pred_boxes, np.float32).copy()
-                    m = np.asarray(inst.pred_masks.masks,
-                                   np.float32).copy()
-                    if fh:  # invert the view transform
-                        b[:, [0, 2]] = w0 - b[:, [2, 0]]
-                        m = m[:, :, ::-1]
-                    if fv:
-                        b[:, [1, 3]] = h0 - b[:, [3, 1]]
-                        m = m[:, ::-1, :]
-                    boxes.append(b)
-                    scores.append(np.asarray(inst.scores, np.float32))
-                    classes.append(np.asarray(inst.pred_classes, np.int64))
-                    masks.append(m)
+                    view = np.ascontiguousarray(view)
+                    for p in predictors:
+                        inst = p(view)["instances"]
+                        b = np.asarray(inst.pred_boxes, np.float32).copy()
+                        m = np.asarray(inst.pred_masks.masks,
+                                       np.float32).copy()
+                        if fh:  # invert the view transform
+                            b[:, [0, 2]] = w0 - b[:, [2, 0]]
+                            m = m[:, :, ::-1]
+                        if fv:
+                            b[:, [1, 3]] = h0 - b[:, [3, 1]]
+                            m = m[:, ::-1, :]
+                        boxes.append(b)
+                        scores.append(np.asarray(inst.scores, np.float32))
+                        classes.append(np.asarray(inst.pred_classes,
+                                                  np.int64))
+                        masks.append(m)
         finally:
-            self.cfg.INPUT.MIN_SIZE_TEST = base_min_size
+            for p, s in zip(predictors, saved_sizes):
+                p.cfg.INPUT.MIN_SIZE_TEST = s
 
         boxes = np.concatenate(boxes, axis=0)
         scores = np.concatenate(scores, axis=0)

@@ -191,3 +191,37 @@ def test_tta_vote_end_to_end():
     # views mark left half (identity, v) and right half (h, hv) after
     # inversion; scores are ~equal so the vote is ~0.5 everywhere
     assert abs(m[14, 5] - 0.5) < 0.05 and abs(m[14, 22] - 0.5) < 0.05
+
+
+def test_ensemble_extra_predictors_join_merge():
+    """A second predictor's detections enter the same NMS merge: disjoint
+    boxes all survive; coincident boxes collapse to the higher score."""
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+
+    def mk(box, score):
+        class P:
+            def __init__(self):
+                self.cfg = cfg
+
+            def __call__(self, image):
+                b = np.asarray([box], np.float32)
+                inst = Instances(
+                    image.shape[:2], pred_boxes=b,
+                    scores=np.asarray([score], np.float32),
+                    pred_classes=np.zeros(1, np.int64),
+                    pred_masks=SoftMasks(np.ones((1, 28, 28), np.float32),
+                                         b, image.shape[:2]))
+                return {"instances": inst}
+        return P()
+
+    # disjoint -> both survive
+    tta = TTAPredictor(cfg, predictor=mk([0, 0, 5, 5], 0.9), flip=False,
+                       extra_predictors=[mk([20, 20, 25, 25], 0.8)])
+    out = tta(np.zeros((40, 40, 3), np.uint8))["instances"]
+    assert len(out.scores) == 2
+    # coincident -> one survivor, the higher-score model's
+    tta = TTAPredictor(cfg, predictor=mk([0, 0, 5, 5], 0.7), flip=False,
+                       extra_predictors=[mk([0, 0, 5, 5], 0.95)])
+    out = tta(np.zeros((40, 40, 3), np.uint8))["instances"]
+    assert len(out.scores) == 1 and out.scores[0] == np.float32(0.95)

@@ -66,12 +66,16 @@ def build_cfg(ckpt, detections):
     return cfg
 
 
-def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0):
+def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0,
+             extra_cfgs=()):
     from ampis_tpu.utils.io import imread_bgr
     if tta:
+        from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.engine.tta import TTAPredictor
         predictor = TTAPredictor(cfg, min_sizes=tta_scales, flip=True,
-                                 vflip=True, vote_iou=vote_iou)
+                                 vflip=True, vote_iou=vote_iou,
+                                 extra_predictors=[DefaultPredictor(c)
+                                                   for c in extra_cfgs])
     else:
         from ampis_tpu.engine.predictor import DefaultPredictor
         predictor = DefaultPredictor(cfg)
@@ -119,6 +123,10 @@ def main():
     ap.add_argument("--vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (engine.tta.vote_merge); "
                          "0 = keep the top view's geometry (plain NMS)")
+    ap.add_argument("--ensemble", default=None,
+                    help="comma list of extra checkpoints whose TTA views "
+                         "join the same merge (checkpoint ensemble; "
+                         "requires --tta)")
     ap.add_argument("--min-size-test", type=int, default=0,
                     help="override cfg.INPUT.MIN_SIZE_TEST (e.g. 1024 = "
                          "native resolution for the 1536x1024 powder "
@@ -165,8 +173,13 @@ def main():
         print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
         if args.tta:
             key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
+            extra = []
+            if args.ensemble:
+                extra = [build_cfg(c, detections)
+                         for c in args.ensemble.split(",")]
+                key += f"+ens{len(extra)}"
             rows[key] = evaluate(cfg, reg, tta=True, tta_scales=scales,
-                                 vote_iou=args.vote)
+                                 vote_iou=args.vote, extra_cfgs=extra)
             print(f"{args.dataset} [{key}] {rows[key]}", flush=True)
     print(json.dumps({"ckpt": args.ckpt, "dataset": args.dataset,
                       "mask_cap": args.mask_cap, "rows": rows}))
