@@ -58,10 +58,15 @@ def main():
     int8_env = os.environ.get("BENCH_INT8", "static")
     kw = {"int8_mask_head": ("static" if int8_env == "static"
                              else bool(int(int8_env)))}
-    # BENCH_INT8_BB=1: also quantize the res2-res5 backbone stages
-    # (cfg.TPU.INT8_BACKBONE="static"; requires BENCH_INT8=static).
-    # BENCH_INT8_NECK=1: same for the FPN + RPN head.
-    if int(os.environ.get("BENCH_INT8_BB", "0")):
+    # BENCH_INT8_BB: also quantize the res2-res5 backbone stages
+    # (cfg.TPU.INT8_BACKBONE="static"; requires BENCH_INT8=static and a
+    # FrozenBN checkpoint — the pinned bench weights are). Default ON:
+    # measured +8.3 img/s and AP-neutral on the pinned checkpoint
+    # (docs/performance.md round-3 table, docs/parity.md int8 table).
+    # BENCH_INT8_NECK=1: same for the FPN + RPN head — measured
+    # NEGATIVE (-12.8 img/s, requant breaks FPN fusion); kept for
+    # reproduction.
+    if int(os.environ.get("BENCH_INT8_BB", "1")):
         kw["int8_backbone"] = "static"
     if int(os.environ.get("BENCH_INT8_NECK", "0")):
         kw["int8_neck"] = "static"
@@ -223,12 +228,15 @@ def main():
 
     img_s = BATCH * ITERS / dt
     print(f"# {BATCH} imgs x {ITERS} iters in {dt:.3f}s", file=sys.stderr)
+    quant = [k for k, name in (("int8_mask_head", "mask head"),
+                               ("int8_backbone", "backbone"),
+                               ("int8_neck", "neck")) if kw.get(k)]
+    precision = ("bf16 + int8 " + "/".join(
+        {"int8_mask_head": "mask head", "int8_backbone": "backbone",
+         "int8_neck": "neck"}[k] for k in quant)) if quant else "bf16"
     print(json.dumps({
         "metric": "SEM images/sec/chip (Mask R-CNN R50-FPN inference, "
-                  "1536x1024->800, 400 dets/img, bf16 + int8 mask head)"
-                  if kw.get("int8_mask_head") else
-                  "SEM images/sec/chip (Mask R-CNN R50-FPN inference, "
-                  "1536x1024->800, 400 dets/img, bf16)",
+                  f"1536x1024->800, 400 dets/img, {precision})",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
