@@ -81,7 +81,7 @@ def _resample_crop(mask, src_box, dst_box):
     return c0 * (1 - wx)[None, :] + c1 * wx[None, :]
 
 
-def vote_merge(boxes, scores, masks, keep, vote_iou):
+def vote_merge(boxes, scores, masks, keep, vote_iou, n_views=0):
     """Score-weighted box + mask voting over each kept detection's cluster.
 
     For every kept index i, the cluster is all candidates whose IoU with
@@ -92,7 +92,14 @@ def vote_merge(boxes, scores, masks, keep, vote_iou):
     view's geometry per detection — voting pools the localization evidence
     of all ~#views redundant detections of the same object.
 
-    Returns (voted_boxes (K, 4), voted_masks (K, mh, mw)).
+    Returns (voted_boxes (K, 4), voted_masks (K, mh, mw),
+    voted_scores (K,)). voted_scores follows Weighted Boxes Fusion
+    (Solovyev et al. 2021): the cluster's mean member score scaled by
+    min(1, members / n_views) — a detection confirmed by every view keeps
+    its mean score, a single-view detection is demoted proportionally,
+    which ranks multi-view-confirmed objects above one-view strays.
+    With n_views=0 the scale is skipped and voted_scores is just the
+    cluster mean.
     """
     kb = boxes[keep]                                   # (K, 4)
     x0, y0, x1, y1 = boxes.T
@@ -110,6 +117,7 @@ def vote_merge(boxes, scores, masks, keep, vote_iou):
     voted_boxes = (w @ boxes) / wsum                   # (K, 4)
 
     voted_masks = np.empty((len(keep),) + masks.shape[1:], np.float32)
+    voted_scores = np.empty(len(keep), np.float32)
     for r, i in enumerate(keep):
         members = np.nonzero(w[r])[0]
         if members.size == 0:
@@ -119,7 +127,9 @@ def vote_merge(boxes, scores, masks, keep, vote_iou):
             acc += w[r, j] * _resample_crop(masks[j], boxes[j],
                                             voted_boxes[r])
         voted_masks[r] = acc / wsum[r, 0]
-    return voted_boxes, voted_masks
+        voted_scores[r] = scores[members].mean() * (
+            min(1.0, members.size / n_views) if n_views else 1.0)
+    return voted_boxes, voted_masks, voted_scores
 
 
 class TTAPredictor:
@@ -137,6 +147,11 @@ class TTAPredictor:
     vote_iou: if > 0, replace each surviving detection's box/mask with the
         score-weighted vote of its cluster (all candidates at IoU >=
         vote_iou) instead of keeping only the top view's geometry.
+    score_mode: 'max' (default) keeps each survivor's top-view score;
+        'wbf' (requires vote_iou > 0) replaces it with the
+        Weighted-Boxes-Fusion score — cluster mean scaled by
+        min(1, members/views) — and re-sorts, so detections confirmed by
+        many views outrank single-view strays.
     extra_predictors: additional predictors (e.g. other checkpoints of the
         same class) whose views join the same merge — a checkpoint/model
         ensemble through the identical NMS/voting machinery.
@@ -144,7 +159,7 @@ class TTAPredictor:
 
     def __init__(self, cfg, min_sizes=None, flip=True, vflip=False,
                  nms_thresh=None, predictor=None, vote_iou=0.0,
-                 extra_predictors=()):
+                 extra_predictors=(), score_mode="max"):
         self.predictor = predictor or DefaultPredictor(cfg)
         self.extra_predictors = list(extra_predictors)
         self.cfg = self.predictor.cfg
@@ -160,6 +175,12 @@ class TTAPredictor:
                                 else cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
         self.max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)
         self.vote_iou = float(vote_iou)
+        if score_mode not in ("max", "wbf"):
+            raise ValueError(f"score_mode {score_mode!r}: 'max' or 'wbf'")
+        if score_mode == "wbf" and not self.vote_iou:
+            raise ValueError("score_mode='wbf' requires vote_iou > 0 "
+                             "(scores are defined over vote clusters)")
+        self.score_mode = score_mode
 
     def __call__(self, original_image: np.ndarray):
         h0, w0 = original_image.shape[:2]
@@ -216,13 +237,24 @@ class TTAPredictor:
             # voting is offset-invariant (a shared shift of src and dst
             # boxes cancels in the crop resampling), so run it on the
             # class-offset boxes and un-shift the result
-            kept_boxes, kept_masks = vote_merge(
-                obias, scores, masks, keep, self.vote_iou)
+            n_views = (len(self.min_sizes) * len(self.flips)
+                       * len(predictors))
+            kept_boxes, kept_masks, kept_scores = vote_merge(
+                obias, scores, masks, keep, self.vote_iou,
+                n_views=n_views if self.score_mode == "wbf" else 0)
             kept_boxes = kept_boxes - (offset[keep]
                                        if np.ndim(offset) else offset)
+            kept_classes = classes[keep]
+            if self.score_mode == "wbf":
+                order = np.argsort(-kept_scores, kind="stable")
+                kept_boxes, kept_masks = kept_boxes[order], kept_masks[order]
+                kept_scores, kept_classes = (kept_scores[order],
+                                             kept_classes[order])
+            else:
+                kept_scores = scores[keep]
             inst = Instances(
                 (h0, w0), pred_boxes=kept_boxes.astype(np.float32),
-                scores=scores[keep], pred_classes=classes[keep],
+                scores=kept_scores, pred_classes=kept_classes,
                 pred_masks=SoftMasks(kept_masks, kept_boxes, (h0, w0)))
             return {"instances": inst}
 

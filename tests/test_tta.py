@@ -153,7 +153,7 @@ def test_vote_merge_singleton_is_identity():
                      np.float32)
     scores = np.array([0.9, 0.8], np.float32)
     masks = rng.rand(2, 28, 28).astype(np.float32)
-    vb, vm = vote_merge(boxes, scores, masks, np.array([0, 1]), 0.5)
+    vb, vm, vs = vote_merge(boxes, scores, masks, np.array([0, 1]), 0.5)
     np.testing.assert_allclose(vb, boxes, atol=1e-5)
     np.testing.assert_allclose(vm, masks, atol=1e-5)
 
@@ -167,7 +167,7 @@ def test_vote_merge_pools_cluster():
     scores = np.array([0.6, 0.4], np.float32)
     masks = np.stack([np.ones((28, 28), np.float32),
                       np.zeros((28, 28), np.float32)])
-    vb, vm = vote_merge(boxes, scores, masks, np.array([0]), 0.5)
+    vb, vm, vs = vote_merge(boxes, scores, masks, np.array([0]), 0.5)
     np.testing.assert_allclose(vb[0], 0.6 * boxes[0] + 0.4 * boxes[1],
                                atol=1e-5)
     # member 0 contributes ones (weight .6), member 1 zeros: interior of
@@ -225,3 +225,39 @@ def test_ensemble_extra_predictors_join_merge():
                        extra_predictors=[mk([0, 0, 5, 5], 0.95)])
     out = tta(np.zeros((40, 40, 3), np.uint8))["instances"]
     assert len(out.scores) == 1 and out.scores[0] == np.float32(0.95)
+
+
+def test_wbf_scores_demote_single_view():
+    """score_mode='wbf': the 4-view-confirmed detection keeps ~its mean
+    score; vote_merge's n_views scaling demotes a 1-member cluster."""
+    from ampis_tpu.engine.tta import vote_merge
+    boxes = np.array([[0, 0, 10, 10], [0.5, 0.5, 10.5, 10.5],
+                      [40, 40, 50, 50]], np.float32)
+    scores = np.array([0.9, 0.7, 0.8], np.float32)
+    masks = np.ones((3, 28, 28), np.float32)
+    vb, vm, vs = vote_merge(boxes, scores, masks, np.array([0, 2]), 0.5,
+                            n_views=2)
+    np.testing.assert_allclose(vs[0], 0.8, atol=1e-6)   # mean(.9,.7) * 2/2
+    np.testing.assert_allclose(vs[1], 0.4, atol=1e-6)   # 0.8 * 1/2
+
+
+def test_tta_wbf_end_to_end_resorts():
+    tta, stub = _make_tta(flip=True, vflip=True, vote_iou=0.5,
+                          score_mode="wbf")
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200
+    out = tta(img)["instances"]
+    assert len(out.scores) == 1
+    # all 4 views agree: wbf score = mean(0.51..0.54) * 4/4
+    np.testing.assert_allclose(out.scores[0], np.mean([0.51, 0.52,
+                                                       0.53, 0.54]),
+                               atol=1e-6)
+    np.testing.assert_allclose(out.pred_boxes[0], [12, 10, 30, 20],
+                               atol=1e-4)
+
+
+def test_wbf_requires_vote():
+    import pytest
+    cfg = get_cfg()
+    with pytest.raises(ValueError):
+        TTAPredictor(cfg, predictor=_StubPredictor(cfg), score_mode="wbf")

@@ -67,13 +67,14 @@ def build_cfg(ckpt, detections):
 
 
 def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0,
-             extra_cfgs=()):
+             extra_cfgs=(), score_mode="max"):
     from ampis_tpu.utils.io import imread_bgr
     if tta:
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.engine.tta import TTAPredictor
         predictor = TTAPredictor(cfg, min_sizes=tta_scales, flip=True,
                                  vflip=True, vote_iou=vote_iou,
+                                 score_mode=score_mode,
                                  extra_predictors=[DefaultPredictor(c)
                                                    for c in extra_cfgs])
     else:
@@ -123,6 +124,9 @@ def main():
     ap.add_argument("--vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (engine.tta.vote_merge); "
                          "0 = keep the top view's geometry (plain NMS)")
+    ap.add_argument("--wbf", action="store_true",
+                    help="TTA score_mode='wbf': cluster-mean score scaled "
+                         "by view-confirmation (requires --vote > 0)")
     ap.add_argument("--ensemble", default=None,
                     help="comma list of extra checkpoints whose TTA views "
                          "join the same merge (checkpoint ensemble; "
@@ -173,13 +177,16 @@ def main():
         print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
         if args.tta:
             key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
+            if args.wbf:
+                key += "+wbf"
             extra = []
             if args.ensemble:
                 extra = [build_cfg(c, detections)
                          for c in args.ensemble.split(",")]
                 key += f"+ens{len(extra)}"
             rows[key] = evaluate(cfg, reg, tta=True, tta_scales=scales,
-                                 vote_iou=args.vote, extra_cfgs=extra)
+                                 vote_iou=args.vote, extra_cfgs=extra,
+                                 score_mode="wbf" if args.wbf else "max")
             print(f"{args.dataset} [{key}] {rows[key]}", flush=True)
     print(json.dumps({"ckpt": args.ckpt, "dataset": args.dataset,
                       "mask_cap": args.mask_cap, "rows": rows}))
