@@ -124,6 +124,10 @@ def main():
     ap.add_argument("--vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (engine.tta.vote_merge); "
                          "0 = keep the top view's geometry (plain NMS)")
+    ap.add_argument("--tta-only", action="store_true",
+                    help="skip the base (non-TTA) row per mode — saves a "
+                         "full-split pass when the base number is already "
+                         "recorded")
     ap.add_argument("--wbf", action="store_true",
                     help="TTA score_mode='wbf': cluster-mean score scaled "
                          "by view-confirmation (requires --vote > 0)")
@@ -173,8 +177,9 @@ def main():
         if mode == "int8bb":
             cfg.TPU.INT8_BACKBONE = "static"
             cfg.TPU.INT8_NECK = "static"
-        rows[mode] = evaluate(cfg, reg)
-        print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
+        if not args.tta_only:
+            rows[mode] = evaluate(cfg, reg)
+            print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
         if args.tta:
             key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
             if args.wbf:
