@@ -163,6 +163,11 @@ def main():
                     help="edge-agreement auxiliary mask loss weight "
                          "(cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT, "
                          "arXiv:1809.07069; try 0.5)")
+    ap.add_argument("--mask-res", type=int, default=0,
+                    help="mask head output resolution (28 default, 56 = "
+                         "quality mode; sets MODEL.ROI_MASK_HEAD."
+                         "POOLER_RESOLUTION to half this — the whole "
+                         "mask branch is resolution-agnostic)")
     ap.add_argument("--sat-native", action="store_true",
                     help="satellite tiny-object recipe: anchors fit to "
                          "the satellite GT size distribution (sqrt-area "
@@ -235,6 +240,10 @@ def main():
             cfg.INPUT.MIN_SIZE_TEST = args.min_size_test
         if args.edge_loss:
             cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
+        if args.mask_res:
+            if args.mask_res % 2:
+                raise SystemExit("--mask-res must be even (deconv x2)")
+            cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = args.mask_res // 2
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:

@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--edge-loss", type=float, default=0.0,
                     help="edge-agreement aux mask loss weight "
                          "(cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT)")
+    ap.add_argument("--mask-res", type=int, default=0,
+                    help="mask head output resolution (28 default, 56 = "
+                         "quality mode; sets MODEL.ROI_MASK_HEAD."
+                         "POOLER_RESOLUTION to half this)")
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB "
                          "(cfg.TPU.DEVICE_DATA_CACHE_MB)")
@@ -132,6 +136,10 @@ def main():
             cfg.INPUT.MIN_SIZE_TEST = args.min_size_test
         if args.edge_loss:
             cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT = args.edge_loss
+        if args.mask_res:
+            if args.mask_res % 2:
+                raise SystemExit("--mask-res must be even (deconv x2)")
+            cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = args.mask_res // 2
         if args.cache_mb:
             cfg.TPU.DEVICE_DATA_CACHE_MB = args.cache_mb
         if args.ema:

@@ -61,6 +61,8 @@ def build_cfg(ckpt, detections):
             "NORM", "FrozenBN")
         cfg.MODEL.ANCHOR_GENERATOR.SIZES = \
             saved["MODEL"]["ANCHOR_GENERATOR"]["SIZES"]
+        cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = \
+            saved["MODEL"]["ROI_MASK_HEAD"].get("POOLER_RESOLUTION", 14)
         cfg.INPUT.MIN_SIZE_TEST = saved["INPUT"]["MIN_SIZE_TEST"]
         cfg.INPUT.MAX_SIZE_TEST = saved["INPUT"]["MAX_SIZE_TEST"]
     return cfg
