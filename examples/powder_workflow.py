@@ -290,6 +290,12 @@ def main():
                 # --sat-native recipe changes both)
                 cfg.MODEL.ANCHOR_GENERATOR.SIZES = \
                     saved["MODEL"]["ANCHOR_GENERATOR"]["SIZES"]
+                # mask-head resolution must match training (--mask-res);
+                # the weights are shape-agnostic, so a mismatch would
+                # silently serve lower-resolution masks, not fail
+                cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = \
+                    saved["MODEL"]["ROI_MASK_HEAD"].get(
+                        "POOLER_RESOLUTION", 14)
                 cfg.INPUT.MIN_SIZE_TEST = saved["INPUT"]["MIN_SIZE_TEST"]
                 cfg.INPUT.MAX_SIZE_TEST = saved["INPUT"]["MAX_SIZE_TEST"]
                 print(f"input stats from {ckpt_cfg}: "

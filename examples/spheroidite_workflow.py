@@ -159,6 +159,10 @@ def main():
                 cfg.MODEL.PIXEL_STD = saved["MODEL"]["PIXEL_STD"]
                 cfg.MODEL.RESNETS.NORM = saved["MODEL"]["RESNETS"].get(
                     "NORM", "FrozenBN")
+                # mask-head resolution must match training (--mask-res)
+                cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = \
+                    saved["MODEL"]["ROI_MASK_HEAD"].get(
+                        "POOLER_RESOLUTION", 14)
         if args.train:
             if args.standardize == "on" or (args.standardize == "auto"
                                             and not args.weights):
