@@ -143,6 +143,11 @@ class TTAPredictor:
     flip: add a horizontally flipped view of every scale.
     vflip: also add vertically flipped views (microscopy images are
         orientation-free; detectron2's TTA only flips horizontally).
+    rot90: also run every flip combination on the 90°-rotated image —
+        with flip+vflip this completes the dihedral group D4 (all 8
+        axis-aligned symmetries), the remaining diversity axis flips
+        alone cannot reach. Non-square images compile one extra graph
+        per scale (the rotated view swaps H and W).
     nms_thresh: merge NMS IoU; default cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST.
     vote_iou: if > 0, replace each surviving detection's box/mask with the
         score-weighted vote of its cluster (all candidates at IoU >=
@@ -158,8 +163,8 @@ class TTAPredictor:
     """
 
     def __init__(self, cfg, min_sizes=None, flip=True, vflip=False,
-                 nms_thresh=None, predictor=None, vote_iou=0.0,
-                 extra_predictors=(), score_mode="max"):
+                 rot90=False, nms_thresh=None, predictor=None,
+                 vote_iou=0.0, extra_predictors=(), score_mode="max"):
         self.predictor = predictor or DefaultPredictor(cfg)
         self.extra_predictors = list(extra_predictors)
         self.cfg = self.predictor.cfg
@@ -170,6 +175,7 @@ class TTAPredictor:
             self.flips.append((True, False))
         if vflip:
             self.flips += [(False, True)] + ([(True, True)] if flip else [])
+        self.rots = [0, 1] if rot90 else [0]
         self.nms_thresh = float(nms_thresh
                                 if nms_thresh is not None
                                 else cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
@@ -193,29 +199,46 @@ class TTAPredictor:
                 # compile cache turns each distinct scale into one graph
                 for p in predictors:
                     p.cfg.INPUT.MIN_SIZE_TEST = ms
-                for fh, fv in self.flips:
-                    view = original_image
-                    if fh:
-                        view = view[:, ::-1]
-                    if fv:
-                        view = view[::-1]
-                    view = np.ascontiguousarray(view)
-                    for p in predictors:
-                        inst = p(view)["instances"]
-                        b = np.asarray(inst.pred_boxes, np.float32).copy()
-                        m = np.asarray(inst.pred_masks.masks,
-                                       np.float32).copy()
-                        if fh:  # invert the view transform
-                            b[:, [0, 2]] = w0 - b[:, [2, 0]]
-                            m = m[:, :, ::-1]
+                for rk in self.rots:
+                    # np.rot90(img): view[v, u] = img[u, w0-1-v], so a
+                    # view point (u, v) sits at original (w0 - v, u)
+                    base = (np.rot90(original_image) if rk
+                            else original_image)
+                    vh, vw = base.shape[:2]
+                    for fh, fv in self.flips:
+                        view = base
+                        if fh:
+                            view = view[:, ::-1]
                         if fv:
-                            b[:, [1, 3]] = h0 - b[:, [3, 1]]
-                            m = m[:, ::-1, :]
-                        boxes.append(b)
-                        scores.append(np.asarray(inst.scores, np.float32))
-                        classes.append(np.asarray(inst.pred_classes,
-                                                  np.int64))
-                        masks.append(m)
+                            view = view[::-1]
+                        view = np.ascontiguousarray(view)
+                        for p in predictors:
+                            inst = p(view)["instances"]
+                            b = np.asarray(inst.pred_boxes,
+                                           np.float32).copy()
+                            m = np.asarray(inst.pred_masks.masks,
+                                           np.float32).copy()
+                            # invert the view transform: flips first (in
+                            # the rotated frame), then the rotation
+                            if fh:
+                                b[:, [0, 2]] = vw - b[:, [2, 0]]
+                                m = m[:, :, ::-1]
+                            if fv:
+                                b[:, [1, 3]] = vh - b[:, [3, 1]]
+                                m = m[:, ::-1, :]
+                            if rk:
+                                b = np.stack([w0 - b[:, 3], b[:, 0],
+                                              w0 - b[:, 1], b[:, 2]],
+                                             axis=1)
+                                # crop grid rotates with its box:
+                                # orig[r, c] = view[mw-1-c, r]
+                                m = np.rot90(m, k=-1, axes=(1, 2))
+                            boxes.append(np.ascontiguousarray(b))
+                            scores.append(np.asarray(inst.scores,
+                                                     np.float32))
+                            classes.append(np.asarray(inst.pred_classes,
+                                                      np.int64))
+                            masks.append(np.ascontiguousarray(m))
         finally:
             for p, s in zip(predictors, saved_sizes):
                 p.cfg.INPUT.MIN_SIZE_TEST = s
@@ -238,7 +261,7 @@ class TTAPredictor:
             # boxes cancels in the crop resampling), so run it on the
             # class-offset boxes and un-shift the result
             n_views = (len(self.min_sizes) * len(self.flips)
-                       * len(predictors))
+                       * len(self.rots) * len(predictors))
             kept_boxes, kept_masks, kept_scores = vote_merge(
                 obias, scores, masks, keep, self.vote_iou,
                 n_views=n_views if self.score_mode == "wbf" else 0)

@@ -185,6 +185,9 @@ def main():
     ap.add_argument("--tta-scales", default=None,
                     help="comma-separated TTA shortest-edge scales "
                          "(default: MIN_SIZE_TEST only, flips-only TTA)")
+    ap.add_argument("--tta-rot", action="store_true",
+                    help="add 90-degree-rotated TTA views (full D4 "
+                         "symmetry group)")
     ap.add_argument("--tta-vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (0 = plain NMS merge)")
     ap.add_argument("--outdir", default="./powder_out")
@@ -340,7 +343,8 @@ def main():
             scales = (tuple(int(s) for s in args.tta_scales.split(","))
                       if args.tta_scales else None)
             predictor = TTAPredictor(cfg, min_sizes=scales, flip=True,
-                                     vflip=True, vote_iou=args.tta_vote)
+                                     vflip=True, rot90=args.tta_rot,
+                                     vote_iou=args.tta_vote)
         else:
             predictor = DefaultPredictor(cfg)
         results = []

@@ -72,6 +72,8 @@ def main():
                          "training with native-resolution inference")
     ap.add_argument("--tta", action="store_true",
                     help="flip TTA at inference (engine.tta.TTAPredictor)")
+    ap.add_argument("--tta-rot", action="store_true",
+                    help="add 90-degree-rotated TTA views (full D4 group)")
     ap.add_argument("--edge-loss", type=float, default=0.0,
                     help="edge-agreement aux mask loss weight "
                          "(cfg.MODEL.ROI_MASK_HEAD.EDGE_AGREEMENT)")
@@ -196,7 +198,8 @@ def main():
         from ampis_tpu.utils.io import imread_bgr
         if args.tta:
             from ampis_tpu.engine.tta import TTAPredictor
-            predictor = TTAPredictor(cfg, flip=True, vflip=True)
+            predictor = TTAPredictor(cfg, flip=True, vflip=True,
+                                     rot90=args.tta_rot)
         else:
             predictor = DefaultPredictor(cfg)
         results = [data_utils.format_outputs(

@@ -75,6 +75,32 @@ def test_mask_crops_inverted_with_view():
     assert m[0, :, 14:].all() and not m[0, :, :14].any()
 
 
+def test_rot90_views_invert_and_merge_to_one():
+    """rot90=True with both flips = all 8 D4 symmetries; every view's
+    detection must invert to the identical original-frame box."""
+    tta, stub = _make_tta(flip=True, vflip=True, rot90=True)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200
+    out = tta(img)["instances"]
+    assert stub.calls == 8
+    assert len(out.scores) == 1
+    np.testing.assert_allclose(out.pred_boxes[0], [12, 10, 30, 20])
+
+
+def test_rot90_mask_crop_rotates_back():
+    """The rotated view's mask crop marks the view's left half (low u =
+    low original y), which is the ORIGINAL's top half after inversion."""
+    tta, stub = _make_tta(flip=False, vflip=False, rot90=True)
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 12:30] = 200
+    out = tta(img)["instances"]
+    assert stub.calls == 2
+    # survivor is the rotated view (second call -> higher stub score)
+    m = np.asarray(out.pred_masks.masks)
+    assert m[0, :14, :].all() and not m[0, 14:, :].any()
+    np.testing.assert_allclose(out.pred_boxes[0], [12, 10, 30, 20])
+
+
 def test_disjoint_views_accumulate():
     """Detections that do NOT coincide across views all survive NMS."""
     cfg = get_cfg()

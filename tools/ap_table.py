@@ -69,13 +69,14 @@ def build_cfg(ckpt, detections):
 
 
 def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0,
-             extra_cfgs=(), score_mode="max"):
+             extra_cfgs=(), score_mode="max", rot90=False):
     from ampis_tpu.utils.io import imread_bgr
     if tta:
         from ampis_tpu.engine.predictor import DefaultPredictor
         from ampis_tpu.engine.tta import TTAPredictor
         predictor = TTAPredictor(cfg, min_sizes=tta_scales, flip=True,
-                                 vflip=True, vote_iou=vote_iou,
+                                 vflip=True, rot90=rot90,
+                                 vote_iou=vote_iou,
                                  score_mode=score_mode,
                                  extra_predictors=[DefaultPredictor(c)
                                                    for c in extra_cfgs])
@@ -123,6 +124,9 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="add a TTA row (flips + --tta-scales) per mode")
     ap.add_argument("--tta-scales", default=None)
+    ap.add_argument("--tta-rot", action="store_true",
+                    help="add 90-degree-rotated TTA views (full D4 "
+                         "symmetry group; 2x the views)")
     ap.add_argument("--vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (engine.tta.vote_merge); "
                          "0 = keep the top view's geometry (plain NMS)")
@@ -184,6 +188,8 @@ def main():
             print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
         if args.tta:
             key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
+            if args.tta_rot:
+                key += "+rot"
             if args.wbf:
                 key += "+wbf"
             extra = []
@@ -193,7 +199,8 @@ def main():
                 key += f"+ens{len(extra)}"
             rows[key] = evaluate(cfg, reg, tta=True, tta_scales=scales,
                                  vote_iou=args.vote, extra_cfgs=extra,
-                                 score_mode="wbf" if args.wbf else "max")
+                                 score_mode="wbf" if args.wbf else "max",
+                                 rot90=args.tta_rot)
             print(f"{args.dataset} [{key}] {rows[key]}", flush=True)
     print(json.dumps({"ckpt": args.ckpt, "dataset": args.dataset,
                       "mask_cap": args.mask_cap, "rows": rows}))
