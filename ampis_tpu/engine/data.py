@@ -663,5 +663,10 @@ class DetectionLoader:
 
 
 def loader_from_config(cfg, dataset_name, train: bool, **kwargs):
-    ddicts = DatasetCatalog.get(dataset_name)
+    """Build a DetectionLoader for one dataset name or a tuple of names
+    (detectron2 semantics: cfg.DATASETS.TRAIN is a tuple and all listed
+    datasets concatenate into one training pool)."""
+    names = ([dataset_name] if isinstance(dataset_name, str)
+             else list(dataset_name))
+    ddicts = [d for n in names for d in DatasetCatalog.get(n)]
     return DetectionLoader(ddicts, cfg, train=train, **kwargs)

@@ -179,7 +179,7 @@ class Trainer:
 
         # data
         self.train_loader = (
-            loader_from_config(cfg, cfg.DATASETS.TRAIN[0], train=True)
+            loader_from_config(cfg, tuple(cfg.DATASETS.TRAIN), train=True)
             if cfg.DATASETS.TRAIN else None)
 
         # mesh (data parallelism) when multiple devices are available and

@@ -185,6 +185,10 @@ def main():
     ap.add_argument("--tta-scales", default=None,
                     help="comma-separated TTA shortest-edge scales "
                          "(default: MIN_SIZE_TEST only, flips-only TTA)")
+    ap.add_argument("--pseudo", default=None,
+                    help="pseudo-label JSON (tools/pseudo_label.py, "
+                         "get_ddicts 'rle' format) appended to the "
+                         "particle training set for self-training")
     ap.add_argument("--tta-rot", action="store_true",
                     help="add 90-degree-rotated TTA views (full D4 "
                          "symmetry group)")
@@ -221,6 +225,14 @@ def main():
             cfg.TPU.INT8_NECK = "static"
         cfg.DATASETS.TRAIN = (names[(thing, "training")],)
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
+        if args.pseudo and thing == "particle":
+            pname = "powder_particle_Pseudo"
+            if pname not in DatasetCatalog.list():
+                DatasetCatalog.register(
+                    pname, lambda p=args.pseudo:
+                    data_utils.get_ddicts("rle", p))
+                MetadataCatalog.get(pname).set(thing_classes=["particle"])
+            cfg.DATASETS.TRAIN = cfg.DATASETS.TRAIN + (pname,)
         if args.flip:
             cfg.INPUT.RANDOM_FLIP = args.flip
         if args.min_sizes:

@@ -110,6 +110,25 @@ class TestGetDdictsLabelAndRLE:
         assert int(rle.area(a['segmentation'])) == 9
         assert list(a['bbox']) == [1, 1, 3, 3]
 
+    def test_loader_concatenates_dataset_tuple(self, tmp_path):
+        """cfg.DATASETS.TRAIN tuple semantics: loader_from_config over
+        (a, b) pools both registries' ddicts (self-training appends a
+        pseudo-label dataset this way)."""
+        from ampis_tpu.engine import DatasetCatalog, get_cfg
+        from ampis_tpu.engine.data import loader_from_config
+
+        def mk(n, ni):
+            return [{'file_name': f'{n}_{i}.png', 'height': 8, 'width': 8,
+                     'annotations': []} for i in range(ni)]
+        for name, ni in (("_cat_a", 2), ("_cat_b", 3)):
+            if name not in DatasetCatalog.list():
+                DatasetCatalog.register(name, lambda n=name, k=ni: mk(n, k))
+        cfg = get_cfg()
+        loader = loader_from_config(cfg, ("_cat_a", "_cat_b"), train=False)
+        assert len(loader.ddicts) == 5
+        loader = loader_from_config(cfg, "_cat_a", train=False)
+        assert len(loader.ddicts) == 2
+
     def test_bad_format_raises(self):
         with pytest.raises(ValueError, match="rle"):
             data_utils.get_ddicts('nope', '/tmp')
