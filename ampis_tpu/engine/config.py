@@ -298,6 +298,10 @@ def get_cfg() -> CfgNode:
     c.TEST = CfgNode()
     c.TEST.DETECTIONS_PER_IMAGE = 100
     c.TEST.EVAL_PERIOD = 0
+    # maskness rescoring (SOLOv2 §3.3): score *= maskness**alpha, where
+    # maskness is the mean foreground probability of the 28x28 soft mask.
+    # 0 = off (detectron2 behavior). Applied host-side in DefaultPredictor.
+    c.TEST.MASKNESS_RESCORE = 0.0
 
     # TPU / parallelism knobs (no detectron2 equivalent)
     c.TPU = CfgNode()

@@ -71,4 +71,19 @@ timeout 2400 python $AP --ckpt powder_out_r2/train/ckpt_3600 \
 timeout 3600 python bench.py > runs/logs/bench_default.log 2>&1
 BENCH_MASK_CAP=288 timeout 3600 python bench.py > runs/logs/bench_cap288.log 2>&1
 
+# 11. maskness rescoring sweep (SOLOv2-style, training-free): powder best
+#     model base + TTA, and the satellite TTA config that sits at 0.249.
+for a in 0.5 1.0; do
+  [ -d $T1 ] && timeout 2400 python $AP --ckpt $T1 --modes bf16 \
+    --maskness $a > runs/logs/eval_t1_maskness_$a.log 2>&1
+done
+[ -d $T1 ] && timeout 3600 python $AP --ckpt $T1 --modes bf16 \
+  --tta --tta-scales 704,800,896 --vote 0.5 --tta-only --maskness 0.5 \
+  > runs/logs/eval_t1_tta_maskness.log 2>&1
+SB=runs/t2_sat/train_satellites/ckpt_5400
+[ -d $SB ] && timeout 3600 python $AP --ckpt $SB \
+  --dataset powder_satellite --detections 250 --modes bf16 \
+  --tta --tta-scales 896,1024,1152 --vote 0.5 --tta-only --maskness 0.5 \
+  > runs/logs/eval_sat_tta_maskness.log 2>&1
+
 echo EVAL_DONE

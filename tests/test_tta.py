@@ -287,3 +287,26 @@ def test_wbf_requires_vote():
     cfg = get_cfg()
     with pytest.raises(ValueError):
         TTAPredictor(cfg, predictor=_StubPredictor(cfg), score_mode="wbf")
+
+
+def test_maskness_rescore():
+    from ampis_tpu.engine.predictor import maskness_rescore
+    scores = np.array([0.8, 0.6, 0.9], np.float32)
+    masks = np.stack([
+        np.full((28, 28), 0.9, np.float32),    # maskness 0.9
+        np.full((28, 28), 0.3, np.float32),    # no fg pixels -> 0
+        np.where(np.arange(28 * 28).reshape(28, 28) % 2 == 0,
+                 1.0, 0.0).astype(np.float32),  # fg pixels all 1.0 -> 1.0
+    ])
+    # alpha=0 is a no-op
+    np.testing.assert_array_equal(maskness_rescore(scores, masks, 0.0),
+                                  scores)
+    out = maskness_rescore(scores, masks, 1.0)
+    np.testing.assert_allclose(out, [0.8 * 0.9, 0.0, 0.9], atol=1e-6)
+    # alpha=0.5 takes the square root of maskness
+    out = maskness_rescore(scores, masks, 0.5)
+    np.testing.assert_allclose(out, [0.8 * 0.9 ** 0.5, 0.0, 0.9],
+                               atol=1e-6)
+    # empty input passes through
+    assert len(maskness_rescore(np.zeros(0, np.float32),
+                                np.zeros((0, 28, 28), np.float32), 1.0)) == 0

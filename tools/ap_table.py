@@ -150,6 +150,10 @@ def main():
                     help="raise cfg.INPUT.MAX_SIZE_TEST (upscale TTA "
                          "scales above the native shortest edge are "
                          "otherwise clipped by the saved max size)")
+    ap.add_argument("--maskness", type=float, default=0.0,
+                    help="cfg.TEST.MASKNESS_RESCORE alpha: score *= "
+                         "maskness**alpha (SOLOv2-style mask-confidence "
+                         "recalibration; try 0.5 or 1.0)")
     ap.add_argument("--pixel-stats", default=None,
                     help="'MEAN,STD' override for checkpoints that predate "
                          "the saved train config.json (applied to all 3 "
@@ -171,6 +175,8 @@ def main():
             cfg.MODEL.PIXEL_STD = [std] * 3
         if args.mask_cap:
             cfg.TPU.MASK_CAPACITY_PER_IMAGE = args.mask_cap
+        if args.maskness:
+            cfg.TEST.MASKNESS_RESCORE = args.maskness
         if args.min_size_test:
             cfg.INPUT.MAX_SIZE_TEST = int(round(
                 cfg.INPUT.MAX_SIZE_TEST
@@ -196,6 +202,8 @@ def main():
             if args.ensemble:
                 extra = [build_cfg(c, detections)
                          for c in args.ensemble.split(",")]
+                for c in extra:
+                    c.TEST.MASKNESS_RESCORE = args.maskness
                 key += f"+ens{len(extra)}"
             rows[key] = evaluate(cfg, reg, tta=True, tta_scales=scales,
                                  vote_iou=args.vote, extra_cfgs=extra,
