@@ -43,6 +43,10 @@ def maskness_rescore(scores, soft_masks, alpha):
     """
     if not alpha or not len(scores):
         return scores
+    if alpha < 0:
+        # 0.0 ** negative == inf for zero-foreground masks, which would
+        # silently corrupt the score ordering.
+        raise ValueError(f"maskness alpha must be >= 0, got {alpha}")
     fg = soft_masks > 0.5
     npix = fg.sum(axis=(1, 2))
     maskness = np.where(

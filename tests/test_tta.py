@@ -1,5 +1,6 @@
 """TTAPredictor (engine.tta): view inversion + NMS merging, no model."""
 import numpy as np
+import pytest
 
 from ampis_tpu.engine.config import get_cfg
 from ampis_tpu.engine.tta import TTAPredictor, greedy_nms
@@ -310,3 +311,6 @@ def test_maskness_rescore():
     # empty input passes through
     assert len(maskness_rescore(np.zeros(0, np.float32),
                                 np.zeros((0, 28, 28), np.float32), 1.0)) == 0
+    # negative alpha would turn zero-foreground masks into inf scores
+    with pytest.raises(ValueError):
+        maskness_rescore(scores, masks, -1.0)

@@ -167,6 +167,16 @@ def main():
               if args.tta_scales else None)
 
     rows = {}
+    # Non-default eval knobs must be visible in the row key, or sweep logs
+    # collected by tools/collect_evals.py become ambiguous except by
+    # filename (round-3 advisor finding).
+    knobs = ""
+    if args.maskness:
+        knobs += f"+mn{args.maskness:g}"
+    if args.min_size_test:
+        knobs += f"+sz{args.min_size_test}"
+    if args.pixel_stats:
+        knobs += f"+ps{args.pixel_stats}"
     for mode in args.modes.split(","):
         cfg = build_cfg(args.ckpt, detections)
         if args.pixel_stats:
@@ -190,10 +200,13 @@ def main():
             cfg.TPU.INT8_BACKBONE = "static"
             cfg.TPU.INT8_NECK = "static"
         if not args.tta_only:
-            rows[mode] = evaluate(cfg, reg)
-            print(f"{args.dataset} [{mode}] {rows[mode]}", flush=True)
+            base_key = mode + knobs
+            rows[base_key] = evaluate(cfg, reg)
+            print(f"{args.dataset} [{base_key}] {rows[base_key]}",
+                  flush=True)
         if args.tta:
-            key = mode + "+tta" + (f"+vote{args.vote}" if args.vote else "")
+            key = (mode + knobs + "+tta"
+                   + (f"+vote{args.vote}" if args.vote else ""))
             if args.tta_rot:
                 key += "+rot"
             if args.wbf:

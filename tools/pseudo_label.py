@@ -35,12 +35,23 @@ from ap_table import build_cfg  # noqa: E402
 
 def build_predictor(args):
     from ampis_tpu.engine.predictor import DefaultPredictor
-    cfg = build_cfg(args.ckpt, args.detections)
+
+    def _cfg(ckpt):
+        cfg = build_cfg(ckpt, args.detections)
+        if args.maskness:
+            # maskness rescoring reorders detections by mask confidence
+            # (predictor.maskness_rescore) — measured +0.02 AP on the
+            # powder models, so pseudo-label score thresholds cut on a
+            # better-calibrated score.
+            cfg.TEST.MASKNESS_RESCORE = args.maskness
+        return cfg
+
+    cfg = _cfg(args.ckpt)
     if args.tta:
         from ampis_tpu.engine.tta import TTAPredictor
         scales = (tuple(int(s) for s in args.tta_scales.split(","))
                   if args.tta_scales else None)
-        extra = [DefaultPredictor(build_cfg(c, args.detections))
+        extra = [DefaultPredictor(_cfg(c))
                  for c in args.ensemble.split(",")] if args.ensemble else []
         return TTAPredictor(cfg, min_sizes=scales, flip=True, vflip=True,
                             rot90=args.tta_rot, vote_iou=args.vote,
@@ -67,6 +78,9 @@ def main():
     ap.add_argument("--tta-rot", action="store_true")
     ap.add_argument("--vote", type=float, default=0.0)
     ap.add_argument("--ensemble", default=None)
+    ap.add_argument("--maskness", type=float, default=0.0,
+                    help="TEST.MASKNESS_RESCORE alpha for every ensemble "
+                         "member (mask-confidence score recalibration)")
     args = ap.parse_args()
 
     p = Path(args.images)
