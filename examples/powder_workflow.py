@@ -185,6 +185,11 @@ def main():
     ap.add_argument("--tta-scales", default=None,
                     help="comma-separated TTA shortest-edge scales "
                          "(default: MIN_SIZE_TEST only, flips-only TTA)")
+    ap.add_argument("--sat-pseudo", default=None,
+                    help="pseudo-label JSON for the satellite dataset "
+                         "(tools/pseudo_label.py on the satellite model); "
+                         "added to the satellite DATASETS.TRAIN like "
+                         "--pseudo is for particles")
     ap.add_argument("--pseudo", default=None,
                     help="pseudo-label JSON (tools/pseudo_label.py, "
                          "get_ddicts 'rle' format) appended to the "
@@ -225,13 +230,15 @@ def main():
             cfg.TPU.INT8_NECK = "static"
         cfg.DATASETS.TRAIN = (names[(thing, "training")],)
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
-        if args.pseudo and thing == "particle":
-            pname = "powder_particle_Pseudo"
+        pseudo_json = (args.pseudo if thing == "particle"
+                       else args.sat_pseudo)
+        if pseudo_json and do_train:
+            pname = f"powder_{thing}_Pseudo"
             if pname not in DatasetCatalog.list():
                 DatasetCatalog.register(
-                    pname, lambda p=args.pseudo:
+                    pname, lambda p=pseudo_json:
                     data_utils.get_ddicts("rle", p))
-                MetadataCatalog.get(pname).set(thing_classes=["particle"])
+                MetadataCatalog.get(pname).set(thing_classes=[thing])
             cfg.DATASETS.TRAIN = cfg.DATASETS.TRAIN + (pname,)
         if args.flip:
             cfg.INPUT.RANDOM_FLIP = args.flip

@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--cache-mb", type=int, default=None,
                     help="device sample-cache cap in MB "
                          "(cfg.TPU.DEVICE_DATA_CACHE_MB)")
+    ap.add_argument("--pseudo", default=None,
+                    help="pseudo-label JSON (tools/pseudo_label.py) added "
+                         "to DATASETS.TRAIN; with no unlabeled spheroidite "
+                         "images this is self-distillation on the train "
+                         "split")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for shadow weights "
                          "(cfg.SOLVER.EMA_DECAY, e.g. 0.999)")
@@ -116,6 +121,20 @@ def main():
         cfg.TEST.DETECTIONS_PER_IMAGE = 400
         cfg.DATASETS.TRAIN = ("spheroidite_Training",)
         cfg.DATASETS.TEST = ("spheroidite_Validation",)
+        if args.pseudo:
+            # Self-distillation pool: the spheroidite dataset ships no
+            # unlabeled images (all 10 are annotated), so --pseudo here
+            # re-labels the training images with a stronger predictor
+            # (TTA-voted, maskness-rescored — tools/pseudo_label.py) and
+            # trains on GT + the model's own dense labels.
+            pname = "spheroidite_Pseudo"
+            if pname not in DatasetCatalog.list():
+                DatasetCatalog.register(
+                    pname, lambda p=args.pseudo:
+                    data_utils.get_ddicts("rle", p))
+                MetadataCatalog.get(pname).set(
+                    thing_classes=["spheroidite"])
+            cfg.DATASETS.TRAIN = cfg.DATASETS.TRAIN + (pname,)
         if args.flip:
             cfg.INPUT.RANDOM_FLIP = args.flip
         if args.jitter:
