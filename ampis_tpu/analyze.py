@@ -12,7 +12,8 @@ Differences from the reference, by design:
   reference analyze.py:54-181) are kept with identical outputs for API
   compatibility, but both paths produce the same numbers;
 * `mask_edge_distance` (reference analyze.py:416-499) computes min-distance
-  with a JAX broadcast instead of torch.
+  with a float64 host-numpy broadcast instead of torch (float64 because the
+  reference's torch path accumulates in double; see `_min_euclid`).
 """
 from __future__ import annotations
 
@@ -30,14 +31,12 @@ def align_instance_sets(a, b):
 
     Reference: analyze.py:19-51. Only pairs present in both lists are kept.
     """
-    bdict = {Path(item.filepath).name: item for item in b}
-    a_ordered = []
-    b_ordered = []
-    for item in a:
-        x = bdict.get(Path(item.filepath).name, None)
-        if x is not None:
-            a_ordered.append(item)
-            b_ordered.append(x)
+    by_name = {Path(item.filepath).name: item for item in b}
+    pairs = [(item, by_name[Path(item.filepath).name]) for item in a
+             if Path(item.filepath).name in by_name]
+    if not pairs:
+        return [], []
+    a_ordered, b_ordered = (list(col) for col in zip(*pairs))
     return a_ordered, b_ordered
 
 
@@ -45,27 +44,20 @@ def _piecewise_iou(a, b, interval=80):
     """len(a) x len(b) pairwise IoU, computed in interval-sized tiles.
 
     Reference: analyze.py:54-112 (tiling worked around a pycocotools batch
-    limit). The C++ codec has no such limit, but the tiled path is preserved
-    so its outputs stay bit-identical; it simply calls the batched kernel
-    per tile.
+    limit). The C++ codec has no such limit, but the tiled signature is
+    preserved so callers of the reference API keep bit-identical outputs;
+    each tile is one batched-kernel call.
     """
-    imax = len(a)
-    jmax = len(b)
-    target = np.zeros((imax, jmax))
-    n_seg_a = imax // interval + int(bool(imax % interval))
-    n_seg_b = jmax // interval + int(bool(jmax % interval))
-    _is_crowd = np.zeros(interval, bool)
-    for i in range(n_seg_a):
-        i1 = interval * i
-        i2 = min(i1 + interval, imax)
-        a_masks = a[i1:i2]
-        is_crowd = _is_crowd[:i2 - i1]
-        for j in range(n_seg_b):
-            j1 = interval * j
-            j2 = min(j1 + interval, jmax)
-            b_masks = b[j1:j2]
-            target[i1:i2, j1:j2] = rle.iou(b_masks, a_masks, is_crowd).T
-    return target
+    out = np.zeros((len(a), len(b)))
+    no_crowd = np.zeros(interval, bool)
+    for r0 in range(0, len(a), interval):
+        rows = a[r0:r0 + interval]
+        for c0 in range(0, len(b), interval):
+            cols = b[c0:c0 + interval]
+            # codec convention: iou(dt, gt, iscrowd) -> (n_dt, n_gt)
+            out[r0:r0 + len(rows), c0:c0 + len(cols)] = rle.iou(
+                cols, rows, no_crowd[:len(rows)]).T
+    return out
 
 
 def _piecewise_rle_match(gt, pred, iou_thresh=0.5, interval=80):
