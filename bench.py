@@ -117,6 +117,17 @@ def main():
                 kw["backbone_norm"] = norm
                 print(f"# backbone norm: {norm}", file=sys.stderr)
 
+    # BENCH_MASK_RES: override the mask-head output resolution (28 or 56;
+    # pooler resolution is half). Every mask-head parameter (3x3 convs,
+    # 2x2 deconv, 1x1 predictor) is resolution-independent, so the pinned
+    # 28-res checkpoint loads unchanged and this isolates the 56x56
+    # quality mode's *throughput* cost on a realistic workload. Use with
+    # BENCH_INT8=0: the cached static-int8 activation scales were
+    # calibrated at 28 res.
+    mask_res_env = int(os.environ.get("BENCH_MASK_RES", "0"))
+    if mask_res_env:
+        kw["mask_pooler_resolution"] = mask_res_env // 2
+
     model = MaskRCNN(num_classes=1, detections_per_image=400,
                      dtype=jnp.bfloat16, **kw)
     params = init_params(model, jax.random.PRNGKey(0))
