@@ -47,16 +47,7 @@ fi
   > runs/logs/eval_p4_mn.log 2>&1
 commit_logs "Edge-agreement lever measurement (powder, single-pass)"
 
-# 3. satellite maskness/rotation levers
-for a in 1.0 2.0; do
-  [ ! -s runs/logs/eval_sat_mn_$a.log ] && timeout 3600 python $AP \
-    --ckpt $SB --dataset powder_satellite --detections 250 --modes bf16 \
-    --tta --tta-scales 896,1024,1152 --vote 0.5 --tta-only --maskness $a \
-    > runs/logs/eval_sat_mn_$a.log 2>&1
-done
-commit_logs "Satellite maskness sweeps"
-
-# 4. int8-mask-head + cap288 bench (GN-checkpoint production config) and
+# 3. int8-mask-head + cap288 bench (GN-checkpoint production config) and
 #    56-res mask-head throughput cost (quality runs deferred; see
 #    docs/parity.md)
 BENCH_INT8_BB=0 timeout 2400 python bench.py \
@@ -64,6 +55,23 @@ BENCH_INT8_BB=0 timeout 2400 python bench.py \
 BENCH_MASK_RES=56 BENCH_INT8=0 BENCH_INT8_BB=0 timeout 2400 python bench.py \
   > runs/logs/bench_maskres56.log 2>&1
 commit_logs "Bench: int8-mask-head+cap288 production row; 56x56 head throughput cost"
+
+#    56-res mask quality at inference time on the best single-pass
+#    checkpoint (mask-head params are resolution-independent; VERDICT
+#    Weak #1b wants a quality row, not just throughput)
+[ ! -s runs/logs/eval_p2_mr56.log ] && timeout 3600 python $AP \
+  --ckpt $P2 --modes bf16 --mask-res 56 \
+  > runs/logs/eval_p2_mr56.log 2>&1
+commit_logs "56x56 mask head quality measurement (inference-time, p2 checkpoint)"
+
+# 4. satellite maskness/rotation levers
+for a in 1.0 2.0; do
+  [ ! -s runs/logs/eval_sat_mn_$a.log ] && timeout 3600 python $AP \
+    --ckpt $SB --dataset powder_satellite --detections 250 --modes bf16 \
+    --tta --tta-scales 896,1024,1152 --vote 0.5 --tta-only --maskness $a \
+    > runs/logs/eval_sat_mn_$a.log 2>&1
+done
+commit_logs "Satellite maskness sweeps"
 
 # 5. d1 TTA + maskness (potential new ladder best) — only reached if the
 #    round still has wall-clock

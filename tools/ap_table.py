@@ -158,6 +158,15 @@ def main():
                     help="'MEAN,STD' override for checkpoints that predate "
                          "the saved train config.json (applied to all 3 "
                          "channels)")
+    ap.add_argument("--mask-res", type=int, default=0,
+                    help="override the mask-head output resolution (28 or "
+                         "56; pooler res is half). Every mask-head param "
+                         "(3x3 convs, 2x2 deconv, 1x1 predictor) is "
+                         "resolution-independent, so any checkpoint loads "
+                         "unchanged — this measures the inference-time "
+                         "quality of the high-res mask mode on a model "
+                         "trained at 28. bf16 mode only: static-int8 "
+                         "activation scales were calibrated at 28 res")
     args = ap.parse_args()
 
     reg = register(args.dataset)
@@ -177,6 +186,8 @@ def main():
         knobs += f"+sz{args.min_size_test}"
     if args.pixel_stats:
         knobs += f"+ps{args.pixel_stats}"
+    if args.mask_res:
+        knobs += f"+mr{args.mask_res}"
     for mode in args.modes.split(","):
         cfg = build_cfg(args.ckpt, detections)
         if args.pixel_stats:
@@ -185,6 +196,8 @@ def main():
             cfg.MODEL.PIXEL_STD = [std] * 3
         if args.mask_cap:
             cfg.TPU.MASK_CAPACITY_PER_IMAGE = args.mask_cap
+        if args.mask_res:
+            cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = args.mask_res // 2
         if args.maskness:
             cfg.TEST.MASKNESS_RESCORE = args.maskness
         if args.min_size_test:
