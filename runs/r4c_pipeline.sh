@@ -64,6 +64,16 @@ commit_logs "Bench: int8-mask-head+cap288 production row; 56x56 head throughput 
   > runs/logs/eval_p2_mr56.log 2>&1
 commit_logs "56x56 mask head quality measurement (inference-time, p2 checkpoint)"
 
+#    2-model ensemble + maskness: the least teacher-correlated pair
+#    (t1+p1, 0.673 plain — the dilution ladder peak) with recalibrated
+#    votes; maskness lifted the 4-model 0.664 -> 0.692, so this is the
+#    likeliest new ladder best (24 views, ~18 min)
+[ ! -s runs/logs/eval_ens2_mn.log ] && timeout 3600 python $AP \
+  --ckpt $T1 --modes bf16 --tta --tta-scales 704,800,896 --vote 0.5 \
+  --tta-only --maskness 1.0 --ensemble $P1 \
+  > runs/logs/eval_ens2_mn.log 2>&1
+commit_logs "2-model ensemble + maskness eval"
+
 # 4. satellite maskness/rotation levers
 for a in 1.0 2.0; do
   [ ! -s runs/logs/eval_sat_mn_$a.log ] && timeout 3600 python $AP \
