@@ -50,6 +50,14 @@ commit_logs "Edge-agreement lever measurement (powder, single-pass)"
 # 3. int8-mask-head + cap288 bench (GN-checkpoint production config) and
 #    56-res mask-head throughput cost (quality runs deferred; see
 #    docs/parity.md)
+#    pure-bf16 with cap-288 first: VERDICT #5 wants bf16 >= 5x
+#    (116.5 img/s); 113.6 + the ~11 img/s compaction win should clear
+#    it. The r4 queue's attempt was interrupted (4-line log, no JSON).
+grep -q '"metric"' runs/logs/bench_bf16_cap288.log 2>/dev/null || \
+  BENCH_INT8=0 BENCH_INT8_BB=0 timeout 2400 python bench.py \
+  > runs/logs/bench_bf16_cap288.log 2>&1
+commit_logs "Pure-bf16 bench with mask-cap 288 (VERDICT #5)"
+
 BENCH_INT8_BB=0 timeout 2400 python bench.py \
   > runs/logs/bench_int8mh_cap288.log 2>&1
 BENCH_MASK_RES=56 BENCH_INT8=0 BENCH_INT8_BB=0 timeout 2400 python bench.py \
