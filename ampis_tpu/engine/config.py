@@ -348,10 +348,12 @@ def get_cfg() -> CfgNode:
     # batches assemble on-device — zero steady-state host->device data
     # traffic (and a workaround for remote-transport clients that leak
     # the transferred bytes per upload). 0 disables (stream every batch).
-    # 4096 covers the full rotation x scale x flip x copy-paste powder
-    # recipe (480 variants x ~4.3 MB); overflow falls back to a
-    # host-side materialization cache + per-draw upload.
-    c.TPU.DEVICE_DATA_CACHE_MB = 4096
+    # 5120 covers the full rotation x scale x flip x copy-paste powder
+    # recipe including pseudo-labeled tiles (540 variants x ~7.7 MB);
+    # overflow falls back to a host-side materialization cache +
+    # per-draw upload (measured: multi-second iteration stalls while
+    # overflow variants re-upload, vs ~0.1 s cached).
+    c.TPU.DEVICE_DATA_CACHE_MB = 5120
 
     return c
 
