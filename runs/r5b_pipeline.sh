@@ -24,6 +24,14 @@ if have_minutes 12 && ! grep -q '"metric"' runs/logs/bench_bf16_b64.log 2>/dev/n
   commit_logs "Bench: pure-bf16 + cap288 at batch 64"
 fi
 
+# 56-res mask head throughput: batch 32 OOMs the fused pooler's scoped
+# VMEM (runs/logs/bench_maskres56.log); batch 16 for the record.
+if have_minutes 12 && ! grep -q '"metric"' runs/logs/bench_maskres56_b16.log 2>/dev/null; then
+  BENCH_MASK_RES=56 BENCH_INT8=0 BENCH_INT8_BB=0 BENCH_BATCH=16 \
+    timeout 2400 python bench.py > runs/logs/bench_maskres56_b16.log 2>&1
+  commit_logs "Bench: 56x56 mask head at batch 16 (batch 32 exceeds pooler VMEM)"
+fi
+
 if have_minutes 12 && ! grep -q '"metric"' runs/logs/bench_b64.log 2>/dev/null; then
   BENCH_BATCH=64 timeout 2400 python bench.py \
     > runs/logs/bench_b64.log 2>&1
