@@ -14,6 +14,7 @@ import pickle
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 BN_EPS = 1e-5  # detectron2 FrozenBatchNorm2d default
@@ -205,6 +206,45 @@ def load_d2_pkl(path, depth=50, strict_heads=False, reference_params=None):
         return out
 
     return merge(ref, converted)
+
+
+def graft_backbone(params, ssl_path, expect_norm=None):
+    """Replace ``params["params"]["backbone"]`` with the pretrained
+    subtree from a tools/pretrain_backbone.py checkpoint.
+
+    The SSL pretrainer names its ResNet "backbone" exactly like
+    MaskRCNN (models/pretrain.py), so the subtree swaps in verbatim —
+    this is the in-environment analogue of the reference's COCO
+    transfer-learning init (reference GETTING_STARTED.md:30). Leaf
+    structure is validated against the fresh init; a norm-family
+    mismatch (GN checkpoint into a FrozenBN model) raises.
+    """
+    restored = restore_checkpoint(ssl_path)
+    norm = None
+    meta_path = Path(ssl_path).parent / "pretrain_meta.json"
+    if meta_path.exists():
+        import json
+        norm = json.loads(meta_path.read_text()).get("norm")
+    if expect_norm and norm and norm.lower() != expect_norm.lower():
+        raise ValueError(
+            f"backbone checkpoint {ssl_path} was pretrained with norm="
+            f"{norm}; the model is configured for {expect_norm}")
+    new_bb = restored["params"]["backbone"]
+    ref_bb = params["params"]["backbone"]
+    ref_td = jax.tree_util.tree_structure(ref_bb)
+    new_td = jax.tree_util.tree_structure(new_bb)
+    if ref_td != new_td:
+        raise ValueError(
+            f"backbone param tree mismatch: model {ref_td} vs "
+            f"checkpoint {new_td}")
+    new_bb = jax.tree.map(lambda r, n: jnp.asarray(n, r.dtype),
+                          ref_bb, new_bb)
+    out = dict(params)
+    out["params"] = dict(params["params"])
+    out["params"]["backbone"] = new_bb
+    print(f"grafted pretrained backbone from {ssl_path} "
+          f"(norm={norm or 'unknown'})")
+    return out
 
 
 def load_weights(path, model=None, reference_params=None):

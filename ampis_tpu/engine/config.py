@@ -131,6 +131,11 @@ def get_cfg() -> CfgNode:
     c.MODEL.BACKBONE = CfgNode()
     c.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
     c.MODEL.BACKBONE.FREEZE_AT = 2
+    # Orbax checkpoint from tools/pretrain_backbone.py: graft its
+    # pretrained ResNet subtree over the fresh init (the in-environment
+    # stand-in for the reference's COCO transfer learning,
+    # GETTING_STARTED.md:30). Ignored when MODEL.WEIGHTS is set.
+    c.MODEL.BACKBONE.WEIGHTS = ""
 
     c.MODEL.RESNETS = CfgNode()
     c.MODEL.RESNETS.DEPTH = 50

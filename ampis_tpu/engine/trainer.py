@@ -29,8 +29,8 @@ from ..input.transforms import photometric_jitter, preprocess_image
 from ..models.mask_rcnn import MaskRCNN, build_model, init_params
 from ..utils.compile_cache import enable_persistent_cache
 from ..parallel.mesh import data_parallel_mesh, replicate, shard_batch
-from .checkpoint import (latest_checkpoint, load_weights, restore_checkpoint,
-                         save_checkpoint)
+from .checkpoint import (graft_backbone, latest_checkpoint, load_weights,
+                         restore_checkpoint, save_checkpoint)
 from .data import loader_from_config
 from .events import EventStorage
 
@@ -137,6 +137,10 @@ class Trainer:
             self.params = load_weights(cfg.MODEL.WEIGHTS, self.model)
         else:
             self.params = init_params(self.model, jax.random.PRNGKey(0))
+            if cfg.MODEL.BACKBONE.WEIGHTS:
+                self.params = graft_backbone(
+                    self.params, cfg.MODEL.BACKBONE.WEIGHTS,
+                    expect_norm=cfg.MODEL.RESNETS.NORM)
 
         # optimizer: SGD momentum + weight decay; frozen params (FrozenBN
         # stats, stem/res2 per FREEZE_AT) get zero updates

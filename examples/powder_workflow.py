@@ -199,6 +199,12 @@ def main():
                          "symmetry group)")
     ap.add_argument("--tta-vote", type=float, default=0.0,
                     help="TTA box+mask voting IoU (0 = plain NMS merge)")
+    ap.add_argument("--init-backbone", default=None,
+                    help="orbax checkpoint from tools/pretrain_backbone"
+                         ".py: graft the SSL-pretrained R50 subtree over "
+                         "the fresh init (cfg.MODEL.BACKBONE.WEIGHTS) — "
+                         "the in-environment stand-in for the reference's "
+                         "COCO transfer learning")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -278,6 +284,8 @@ def main():
                                       else "FrozenBN")
         else:
             cfg.MODEL.RESNETS.NORM = args.norm
+        if args.init_backbone and do_train and not weights:
+            cfg.MODEL.BACKBONE.WEIGHTS = args.init_backbone
         if thing == "satellite" and args.sat_native:
             # tiny-object recipe (see --sat-native help). Satellites are
             # ~15 px median at native scale: the stock 32-px smallest
