@@ -99,7 +99,9 @@ def evaluate_mask_ap(gt_list, pred_list, iou_thresholds=None,
     for gt, pred in zip(gt_list, pred_list):
         gt_rles, pred_rles, scores = _gather_image(gt, pred)
         if max_dets is not None and len(pred_rles) > max_dets:
-            order = np.argsort(-scores)[:max_dets]
+            # stable sort: on tied scores COCOeval keeps the earlier
+            # detection (mergesort), so truncation must too
+            order = np.argsort(-scores, kind="mergesort")[:max_dets]
             pred_rles = [pred_rles[i] for i in order]
             scores = scores[order]
         n_gt = len(gt_rles)
