@@ -40,6 +40,10 @@ P3=runs/p3_pseudo2/train/ckpt_9000
 P4=runs/p4_edge/train/ckpt_9000
 D1=runs/d1_distill/train/ckpt_9000
 SB=runs/t2_sat/train_satellites/ckpt_5400
+# NOTE (r5 advisor): wrong path — the spheroidite checkpoint is
+# ckpt_4000, so the S1 pseudo-label stage below would fail. Superseded
+# by runs/r5c_pipeline.sh, which uses the correct path; kept as-run for
+# the log record.
 S1=runs/t3_sph/train/ckpt_6000
 
 # ---------------------------------------------------------------- 1. d1
@@ -64,6 +68,10 @@ if [ ! -d $D1 ] && [ -f runs/pseudo3/particles.json ]; then
     --pseudo runs/pseudo3/particles.json \
     --edge-loss 0.5 $RESUME \
     --outdir runs/d1_distill > runs/logs/d1_distill.log 2>&1
+  # NOTE (r5 advisor): kill can interrupt the watcher mid git-add and
+  # leave a stale index.lock that the `|| true` in commit_ckpt would
+  # swallow. Later pipelines wait for the watcher's iteration to finish
+  # and clear a stale lock before the final commit (see r6_pipeline.sh).
   kill $WATCH 2>/dev/null
   commit_ckpt runs/d1_distill/train ckpt_9000 \
     "Distilled single-pass model: crop+edge recipe on GT + 4-model-ensemble pseudo-labels"
