@@ -30,11 +30,16 @@ overflow degrades to streaming, never to re-materializing. Eviction is
 still avoided — re-uploading evicted *device* entries would reintroduce
 per-step transfers for the hot set.
 
-Data parallelism: with a mesh, samples are cached replicated-on-host?
-No — the trainer only routes through DeviceBatcher for single-device
-runs; sharded batches go through parallel.mesh.shard_batch (the mesh
-path needs per-device placement that jnp.stack of cached samples does
-not express).
+Data parallelism: with a mesh, each cached variant is device_put
+*replicated* over the mesh (every chip holds every variant — the cap is
+per-chip HBM, unchanged), and the batch stack is jitted with the batch
+axis sharded over 'data': each device materializes only its B/D slice
+of the stacked batch from its local replicas, so steady-state training
+issues zero host->device image traffic on the mesh path too — which is
+exactly where input bandwidth matters most (the variant that draws a
+sample is random per step, so per-device placement of single copies
+would need a device-to-device shuffle every step; replication trades
+HBM, which the few-shot working set has to spare, for zero comms).
 """
 from __future__ import annotations
 
@@ -53,19 +58,27 @@ class DeviceBatcher:
     """
 
     def __init__(self, loader, max_bytes: int = 2 << 30,
-                 host_max_bytes: int = 8 << 30):
+                 host_max_bytes: int = 8 << 30, mesh=None):
         self.loader = loader
         self.max_bytes = max_bytes
         self.host_max_bytes = host_max_bytes
+        self.mesh = mesh
         self._cache = {}   # (idx, min_size, flip) -> ({k: jax.Array}, ns)
         self._bytes = 0
         # overflow: key -> ({k: np.ndarray}, ns); bounded FIFO
         self._host_cache = {}
         self._host_bytes = 0
         self._warned = False
-        self._stack = jax.jit(
-            lambda entries: jax.tree.map(lambda *xs: jnp.stack(xs),
-                                         *entries))
+        stack_fn = lambda entries: jax.tree.map(  # noqa: E731
+            lambda *xs: jnp.stack(xs), *entries)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            self._sharding = replicated(mesh)
+            self._stack = jax.jit(stack_fn,
+                                  out_shardings=batch_sharding(mesh))
+        else:
+            self._sharding = None
+            self._stack = jax.jit(stack_fn)
         total = loader.n_variants() * loader.variant_nbytes()
         if total > self.max_bytes:
             warnings.warn(
@@ -98,8 +111,12 @@ class DeviceBatcher:
         else:
             arrays, new_shape = self.loader.sample(*key)
         nbytes = sum(a.nbytes for a in arrays.values())
-        entry = ({k: jax.device_put(v) for k, v in arrays.items()},
-                 new_shape)
+        if self._sharding is not None:
+            entry = ({k: jax.device_put(v, self._sharding)
+                      for k, v in arrays.items()}, new_shape)
+        else:
+            entry = ({k: jax.device_put(v) for k, v in arrays.items()},
+                     new_shape)
         if self._bytes + nbytes <= self.max_bytes:
             self._cache[key] = entry
             self._bytes += nbytes

@@ -203,14 +203,17 @@ class Trainer:
 
         # device-resident sample cache (engine.device_cache): upload each
         # (image, scale, flip) variant once, assemble batches on-device —
-        # zero steady-state host->device data transfer. Single-device
-        # only; the mesh path shards batches host-side.
+        # zero steady-state host->device data transfer. On a mesh the
+        # variants are cached replicated and the stacked batch comes out
+        # sharded over 'data' (see device_cache.py), so the multi-chip
+        # path gets the same property.
         cache_mb = int(getattr(cfg.TPU, "DEVICE_DATA_CACHE_MB", 0) or 0)
         self.device_batcher = None
-        if cache_mb > 0 and self.mesh is None and self.train_loader:
+        if cache_mb > 0 and self.train_loader:
             from .device_cache import DeviceBatcher
             self.device_batcher = DeviceBatcher(self.train_loader,
-                                                cache_mb << 20)
+                                                cache_mb << 20,
+                                                mesh=self.mesh)
 
         self._build_step_fns()
 

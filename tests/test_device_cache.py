@@ -554,3 +554,64 @@ def test_crop_validation_path_unaffected(cp_ddicts):
     val = DetectionLoader(cp_ddicts, cfg, train=False, batch_size=1)
     batch = next(iter(val))
     assert batch["images"].shape[1:3] == (64, 96)
+
+
+# ------------------------------------------------------------- mesh path
+
+def test_mesh_batches_identical_and_sharded(ddicts):
+    """VERDICT r5 #6: the device cache on the data mesh — batch content
+    identical to streaming, stacked batch sharded over 'data', and zero
+    steady-state host->device uploads after warm-up."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from ampis_tpu.parallel.mesh import data_parallel_mesh
+
+    cfg = _cfg()
+    mesh = data_parallel_mesh(2)  # batch 2 -> 1 sample per device
+    stream = DetectionLoader(ddicts, cfg, train=True, seed=11)
+    cached = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True,
+                                           seed=11), mesh=mesh)
+    it_s, it_c = stream.infinite(prefetch=0), cached.infinite()
+    for _ in range(6):
+        bs, bc = next(it_s), next(it_c)
+        for k in ARRAY_KEYS:
+            np.testing.assert_array_equal(np.asarray(bs[k]),
+                                          np.asarray(bc[k]), err_msg=k)
+            sh = bc[k].sharding
+            assert sh.mesh.axis_names == ("data",)
+            assert sh.spec == P("data"), (k, sh.spec)
+
+
+def test_mesh_zero_steady_state_uploads(ddicts, monkeypatch):
+    import jax
+    from ampis_tpu.parallel.mesh import data_parallel_mesh
+    from ampis_tpu.engine import device_cache as dc
+
+    cfg = _cfg()
+    mesh = data_parallel_mesh(2)
+    batcher = DeviceBatcher(DetectionLoader(ddicts, cfg, train=True,
+                                            seed=4), mesh=mesh)
+    uploads = [0]
+    orig = jax.device_put
+
+    def counting_put(x, *a, **k):
+        uploads[0] += 1
+        return orig(x, *a, **k)
+
+    monkeypatch.setattr(dc.jax, "device_put", counting_put)
+    it = batcher.infinite()
+    # warm up until the random draw stops discovering new variants
+    # (40 consecutive upload-free batches: P[specific variant unseen in
+    # 40 batches] ~ 1e-3, and the seed is fixed)
+    quiet = 0
+    for _ in range(400):
+        before = uploads[0]
+        next(it)
+        quiet = quiet + 1 if uploads[0] == before else 0
+        if quiet >= 40:
+            break
+    warm = uploads[0]
+    assert warm > 0 and quiet >= 40
+    for _ in range(20):
+        next(it)
+    assert uploads[0] == warm, "steady-state H2D uploads on the mesh path"

