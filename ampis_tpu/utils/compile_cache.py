@@ -14,8 +14,42 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-_DEFAULT_DIR = Path(__file__).resolve().parents[2] / "build" / "jax_cache"
+_REPO = Path(__file__).resolve().parents[2]
+_DEFAULT_DIR = _REPO / "build" / "jax_cache"
+_ARTIFACT_DIR = _REPO / "artifacts" / "compile_cache"
 _enabled = False
+
+
+def seed_cache_from_artifacts(cache_dir: Path):
+    """Unpack shipped compile-cache artifacts into the cache dir.
+
+    Cold-start fix (VERDICT r5 #5): the flagship inference program costs
+    ~16 min to compile on a fresh machine; tools/prime_compile_cache.py
+    records the XLA cache entries for the flagship configs into
+    artifacts/compile_cache/*.tar.gz (committed), and this unpacks them
+    on first use. Entries are content-addressed by (program, jaxlib,
+    platform) hash, so stale or foreign-platform entries are inert —
+    unpacking is always safe. Existing files are never overwritten.
+    """
+    import tarfile
+
+    if not _ARTIFACT_DIR.is_dir():
+        return
+    for tar in sorted(_ARTIFACT_DIR.glob("*.tar.gz")):
+        stamp = cache_dir / f".seeded-{tar.stem}"
+        if stamp.exists():
+            continue
+        try:
+            with tarfile.open(tar) as tf:
+                for m in tf.getmembers():
+                    name = Path(m.name).name  # flat, no path traversal
+                    if not m.isfile() or (cache_dir / name).exists():
+                        continue
+                    src = tf.extractfile(m)
+                    (cache_dir / name).write_bytes(src.read())
+            stamp.touch()
+        except (OSError, tarfile.TarError):
+            continue
 
 
 def enable_persistent_cache(cache_dir: str | os.PathLike | None = None):
@@ -29,6 +63,7 @@ def enable_persistent_cache(cache_dir: str | os.PathLike | None = None):
                                             _DEFAULT_DIR))
     try:
         path.mkdir(parents=True, exist_ok=True)
+        seed_cache_from_artifacts(path)
         jax.config.update("jax_compilation_cache_dir", str(path))
         # cache everything: the tunnel makes even mid-size compiles slow
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Record the flagship configs' XLA compile-cache entries as a shippable
+artifact (cold-start fix, VERDICT r5 #5).
+
+Runs the flagship inference benchmark (and optionally extra commands)
+with a FRESH compile-cache directory so the resulting entries are
+exactly the flagship programs, then packs them into
+artifacts/compile_cache/<tag>.tar.gz. enable_persistent_cache unpacks
+every shipped artifact on first use, so a fresh machine of the same
+platform + jaxlib goes from ~16 min of compiles to seconds.
+
+Usage (on the target platform, e.g. the v5e chip):
+  python tools/prime_compile_cache.py            # flagship bench config
+  python tools/prime_compile_cache.py --tag v5e-bench
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tarfile
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default=None,
+                    help="artifact name (default: <platform>-<jaxlib>)")
+    ap.add_argument("--cmd", action="append", default=None,
+                    help="command(s) to run under the fresh cache "
+                         "(default: the flagship bench, 1 iter)")
+    args = ap.parse_args()
+
+    fresh = Path(tempfile.mkdtemp(prefix="prime_cache_"))
+    env = dict(os.environ)
+    env["AMPIS_TPU_COMPILE_CACHE_DIR"] = str(fresh)
+    cmds = args.cmd or [
+        f"{sys.executable} bench.py",
+    ]
+    if args.cmd is None:
+        env.setdefault("BENCH_ITERS", "1")
+        env.setdefault("BENCH_WARMUP", "0")
+    for cmd in cmds:
+        print(f"priming: {cmd}")
+        subprocess.run(cmd, shell=True, cwd=REPO, env=env, check=True)
+
+    entries = [p for p in fresh.iterdir() if p.is_file()]
+    if not entries:
+        sys.exit("no cache entries were produced — nothing to pack")
+
+    if args.tag:
+        tag = args.tag
+    else:
+        import jax
+        import jaxlib
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", dev.platform)
+        tag = f"{kind}-{jaxlib.__version__}".replace(" ", "-").lower()
+    out = REPO / "artifacts" / "compile_cache" / f"{tag}.tar.gz"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with tarfile.open(out, "w:gz") as tf:
+        for p in sorted(entries):
+            tf.add(p, arcname=p.name)
+    total = sum(p.stat().st_size for p in entries)
+    print(f"packed {len(entries)} entries ({total >> 20} MB raw) -> {out} "
+          f"({out.stat().st_size >> 20} MB)")
+
+
+if __name__ == "__main__":
+    main()
