@@ -243,47 +243,179 @@ class TTAPredictor:
             for p, s in zip(predictors, saved_sizes):
                 p.cfg.INPUT.MIN_SIZE_TEST = s
 
-        boxes = np.concatenate(boxes, axis=0)
-        scores = np.concatenate(scores, axis=0)
-        classes = np.concatenate(classes, axis=0)
-        masks = np.concatenate(masks, axis=0)
+        n_views = (len(self.min_sizes) * len(self.flips)
+                   * len(self.rots) * len(predictors))
+        return merge_detections(
+            np.concatenate(boxes, axis=0),
+            np.concatenate(scores, axis=0),
+            np.concatenate(classes, axis=0),
+            np.concatenate(masks, axis=0),
+            (h0, w0), nms_thresh=self.nms_thresh, max_dets=self.max_dets,
+            vote_iou=self.vote_iou, n_views=n_views,
+            score_mode=self.score_mode)
 
-        # classwise merge: offset boxes per class so NMS never crosses
-        # classes (single-class datasets pass through unchanged)
-        offset = (classes.astype(np.float32)[:, None]
-                  * (max(h0, w0) + 1.0)) if classes.size else 0.0
-        obias = boxes + offset
-        keep = greedy_nms(obias, scores, self.nms_thresh)
-        keep = keep[:self.max_dets]
 
-        if self.vote_iou > 0 and keep.size:
-            # voting is offset-invariant (a shared shift of src and dst
-            # boxes cancels in the crop resampling), so run it on the
-            # class-offset boxes and un-shift the result
-            n_views = (len(self.min_sizes) * len(self.flips)
-                       * len(self.rots) * len(predictors))
-            kept_boxes, kept_masks, kept_scores = vote_merge(
-                obias, scores, masks, keep, self.vote_iou,
-                n_views=n_views if self.score_mode == "wbf" else 0)
-            kept_boxes = kept_boxes - (offset[keep]
-                                       if np.ndim(offset) else offset)
-            kept_classes = classes[keep]
-            if self.score_mode == "wbf":
-                order = np.argsort(-kept_scores, kind="stable")
-                kept_boxes, kept_masks = kept_boxes[order], kept_masks[order]
-                kept_scores, kept_classes = (kept_scores[order],
-                                             kept_classes[order])
-            else:
-                kept_scores = scores[keep]
-            inst = Instances(
-                (h0, w0), pred_boxes=kept_boxes.astype(np.float32),
-                scores=kept_scores, pred_classes=kept_classes,
-                pred_masks=SoftMasks(kept_masks, kept_boxes, (h0, w0)))
-            return {"instances": inst}
+def merge_detections(boxes, scores, classes, masks, image_size, *,
+                     nms_thresh, max_dets, vote_iou=0.0, n_views=0,
+                     score_mode="max"):
+    """Merge concatenated multi-view/multi-tile detections.
 
-        kept_boxes = boxes[keep]
+    Classwise greedy NMS (class-offset boxes so NMS never crosses
+    classes), optional score-weighted box+mask voting over each
+    survivor's cluster, optional WBF rescoring. ``masks`` are box-crop
+    soft masks; boxes in original image coordinates.
+    """
+    h0, w0 = image_size
+    offset = (classes.astype(np.float32)[:, None]
+              * (max(h0, w0) + 1.0)) if classes.size else 0.0
+    obias = boxes + offset
+    keep = greedy_nms(obias, scores, nms_thresh)
+    keep = keep[:max_dets]
+
+    if vote_iou > 0 and keep.size:
+        # voting is offset-invariant (a shared shift of src and dst
+        # boxes cancels in the crop resampling), so run it on the
+        # class-offset boxes and un-shift the result
+        kept_boxes, kept_masks, kept_scores = vote_merge(
+            obias, scores, masks, keep, vote_iou,
+            n_views=n_views if score_mode == "wbf" else 0)
+        kept_boxes = kept_boxes - (offset[keep]
+                                   if np.ndim(offset) else offset)
+        kept_classes = classes[keep]
+        if score_mode == "wbf":
+            order = np.argsort(-kept_scores, kind="stable")
+            kept_boxes, kept_masks = kept_boxes[order], kept_masks[order]
+            kept_scores, kept_classes = (kept_scores[order],
+                                         kept_classes[order])
+        else:
+            kept_scores = scores[keep]
         inst = Instances(
             (h0, w0), pred_boxes=kept_boxes.astype(np.float32),
-            scores=scores[keep], pred_classes=classes[keep],
-            pred_masks=SoftMasks(masks[keep], kept_boxes, (h0, w0)))
+            scores=kept_scores, pred_classes=kept_classes,
+            pred_masks=SoftMasks(kept_masks, kept_boxes, (h0, w0)))
         return {"instances": inst}
+
+    kept_boxes = boxes[keep]
+    inst = Instances(
+        (h0, w0), pred_boxes=kept_boxes.astype(np.float32),
+        scores=scores[keep], pred_classes=classes[keep],
+        pred_masks=SoftMasks(masks[keep], kept_boxes, (h0, w0)))
+    return {"instances": inst}
+
+
+def _tile_origins(extent, tile, stride):
+    """1-D tile origins covering [0, extent): stride-spaced, last one
+    clamped so every tile fits (all tiles are exactly ``tile`` long)."""
+    if extent <= tile:
+        return [0]
+    xs = list(range(0, extent - tile, stride)) + [extent - tile]
+    # dedupe while keeping order (stride may land exactly on the end)
+    out = []
+    for x in xs:
+        if not out or x != out[-1]:
+            out.append(x)
+    return out
+
+
+class TiledPredictor:
+    """Tiled-crop inference: predict on overlapping native-resolution
+    tiles, merge in original coordinates.
+
+    The resolution-regime lever for tiny objects (VERDICT r5 #2): the
+    satellite model trains on 448-512 px crops
+    (examples/powder_workflow.py --sat-native), but whole-image
+    inference shows it 1536x1024 frames — a train/test field-of-view
+    mismatch. Tiling restores the training distribution exactly: every
+    tile is the size the model trained on, objects appear at native
+    scale, and the per-shape compile cache sees ONE tile shape for any
+    image size.
+
+    Objects larger than ``overlap`` can be clipped in every tile — this
+    is for tiny-object models (satellites are ~15 px; particles should
+    keep whole-frame inference). Detections touching an interior tile
+    edge (within ``edge_margin`` px) are dropped: the overlap guarantees
+    a neighbouring tile sees them whole.
+    """
+
+    def __init__(self, cfg, tile=512, overlap=128, edge_margin=4.0,
+                 nms_thresh=None, vote_iou=0.0, predictor=None):
+        self.predictor = predictor or DefaultPredictor(cfg)
+        self.cfg = self.predictor.cfg
+        self.tile = int(tile)
+        self.overlap = int(overlap)
+        self.edge_margin = float(edge_margin)
+        self.nms_thresh = float(nms_thresh
+                                if nms_thresh is not None
+                                else self.cfg.MODEL.ROI_HEADS
+                                .NMS_THRESH_TEST)
+        self.max_dets = int(self.cfg.TEST.DETECTIONS_PER_IMAGE)
+        self.vote_iou = float(vote_iou)
+
+    def __call__(self, original_image: np.ndarray):
+        h0, w0 = original_image.shape[:2]
+        t = self.tile
+        stride = t - self.overlap
+        ys = _tile_origins(h0, t, stride)
+        xs = _tile_origins(w0, t, stride)
+
+        saved = (self.cfg.INPUT.MIN_SIZE_TEST,
+                 self.cfg.INPUT.MAX_SIZE_TEST)
+        th, tw = min(t, h0), min(t, w0)
+        # native scale: shortest-edge target = the tile's own shortest
+        # edge, max-size unconstrained -> resize is the identity
+        self.cfg.INPUT.MIN_SIZE_TEST = min(th, tw)
+        self.cfg.INPUT.MAX_SIZE_TEST = max(th, tw)
+        boxes, scores, classes, masks = [], [], [], []
+        try:
+            for oy in ys:
+                for ox in xs:
+                    view = np.ascontiguousarray(
+                        original_image[oy:oy + t, ox:ox + t])
+                    inst = self.predictor(view)["instances"]
+                    b = np.asarray(inst.pred_boxes, np.float32).copy()
+                    if not len(b):
+                        continue
+                    vh, vw = view.shape[:2]
+                    m = self.edge_margin
+                    clipped = np.zeros(len(b), bool)
+                    if oy > 0:
+                        clipped |= b[:, 1] < m
+                    if oy + vh < h0:
+                        clipped |= b[:, 3] > vh - m
+                    if ox > 0:
+                        clipped |= b[:, 0] < m
+                    if ox + vw < w0:
+                        clipped |= b[:, 2] > vw - m
+                    sel = ~clipped
+                    if not sel.any():
+                        continue
+                    b = b[sel]
+                    b[:, [0, 2]] += ox
+                    b[:, [1, 3]] += oy
+                    boxes.append(b)
+                    scores.append(np.asarray(inst.scores,
+                                             np.float32)[sel])
+                    classes.append(np.asarray(inst.pred_classes,
+                                              np.int64)[sel])
+                    masks.append(np.ascontiguousarray(np.asarray(
+                        inst.pred_masks.masks, np.float32)[sel]))
+        finally:
+            (self.cfg.INPUT.MIN_SIZE_TEST,
+             self.cfg.INPUT.MAX_SIZE_TEST) = saved
+
+        if not boxes:
+            empty = np.zeros((0, 4), np.float32)
+            inst = Instances(
+                (h0, w0), pred_boxes=empty,
+                scores=np.zeros(0, np.float32),
+                pred_classes=np.zeros(0, np.int64),
+                pred_masks=SoftMasks(np.zeros((0, 28, 28), np.float32),
+                                     empty, (h0, w0)))
+            return {"instances": inst}
+        return merge_detections(
+            np.concatenate(boxes, axis=0),
+            np.concatenate(scores, axis=0),
+            np.concatenate(classes, axis=0),
+            np.concatenate(masks, axis=0),
+            (h0, w0), nms_thresh=self.nms_thresh,
+            max_dets=self.max_dets, vote_iou=self.vote_iou)

@@ -314,3 +314,148 @@ def test_maskness_rescore():
     # negative alpha would turn zero-foreground masks into inf scores
     with pytest.raises(ValueError):
         maskness_rescore(scores, masks, -1.0)
+
+
+# ---------------------------------------------------------- TiledPredictor
+
+from ampis_tpu.engine.tta import TiledPredictor, _tile_origins
+
+
+def test_tile_origins_cover_and_clamp():
+    # 100 with tile 40 stride 30: 0, 30, 60 (last clamped from 90)
+    assert _tile_origins(100, 40, 30) == [0, 30, 60]
+    # exact fit: no duplicate of the clamped last origin
+    assert _tile_origins(80, 40, 40) == [0, 40]
+    # image smaller than the tile: single origin
+    assert _tile_origins(30, 40, 30) == [0]
+    for extent, tile, stride in [(100, 40, 30), (97, 32, 20), (513, 512,
+                                                               384)]:
+        org = _tile_origins(extent, tile, stride)
+        assert org[0] == 0 and org[-1] == max(extent - tile, 0)
+        assert all(b - a <= stride for a, b in zip(org, org[1:]))
+
+
+class _GridStub:
+    """Reports one detection per known blob center that falls inside the
+    view; boxes in view coordinates."""
+
+    def __init__(self, cfg, centers, size=6):
+        self.cfg = cfg
+        self.centers = centers
+        self.size = size
+        self.calls = 0
+
+    def __call__(self, image):
+        self.calls += 1
+        h, w = image.shape[:2]
+        oy, ox = image[0, 0, 1], image[0, 0, 2]  # origin smuggled in px
+        half = self.size / 2
+        boxes, masks = [], []
+        for (cy, cx) in self.centers:
+            vy, vx = cy - oy, cx - ox
+            if 0 <= vy - half and vy + half <= h \
+                    and 0 <= vx - half and vx + half <= w:
+                boxes.append([vx - half, vy - half, vx + half, vy + half])
+                masks.append(np.ones((28, 28), np.float32))
+        n = len(boxes)
+        inst = Instances(
+            (h, w),
+            pred_boxes=np.asarray(boxes, np.float32).reshape(n, 4),
+            scores=np.full(n, 0.9, np.float32),
+            pred_classes=np.zeros(n, np.int64),
+            pred_masks=SoftMasks(
+                np.asarray(masks, np.float32).reshape(n, 28, 28),
+                np.asarray(boxes, np.float32).reshape(n, 4), (h, w)))
+        return {"instances": inst}
+
+
+def test_tiled_predictor_restores_global_coords():
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 50
+    h, w = 100, 160
+    centers = [(20, 30), (50, 80), (90, 150), (10, 140)]
+    img = np.zeros((h, w, 3), np.float32)
+
+    # encode origins: fill channels 1/2 with the GLOBAL y/x of each pixel
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 1] = yy
+    img[:, :, 2] = xx
+
+    stub = _GridStub(get_cfg(), centers)
+    tp = TiledPredictor(cfg, tile=64, overlap=24, predictor=stub)
+    out = tp(img)["instances"]
+    got = {(round(float((b[1] + b[3]) / 2)), round(float((b[0] + b[2]) / 2)))
+           for b in np.asarray(out.pred_boxes)}
+    assert got == set(centers)
+    assert stub.calls == len(_tile_origins(h, 64, 40)) * \
+        len(_tile_origins(w, 64, 40))
+
+
+def test_tiled_predictor_single_tile_small_image():
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    h, w = 40, 50
+    img = np.zeros((h, w, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 1] = yy
+    img[:, :, 2] = xx
+    stub = _GridStub(get_cfg(), [(20, 25)])
+    tp = TiledPredictor(cfg, tile=512, overlap=128, predictor=stub)
+    out = tp(img)["instances"]
+    assert len(np.asarray(out.pred_boxes)) == 1
+    assert stub.calls == 1
+
+
+def test_tiled_predictor_drops_clipped_interior_detections():
+    """A blob centered on an interior tile edge is clipped in the tiles
+    whose edge cuts it; only the tile seeing it whole may report it, so
+    the merged output still has exactly one detection per blob."""
+    cfg = get_cfg()
+    cfg.TEST.DETECTIONS_PER_IMAGE = 50
+    h, w = 100, 100
+    # blob centered exactly on the x=60 interior edge of tile (0..64)
+    centers = [(30, 60)]
+    img = np.zeros((h, w, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 1] = yy
+    img[:, :, 2] = xx
+
+    class ClippingStub(_GridStub):
+        """Also reports PARTIAL blobs touching the view edge (like a real
+        model seeing half an object), in view coordinates."""
+
+        def __call__(self, image):
+            self.calls += 1
+            hh, ww = image.shape[:2]
+            oy, ox = image[0, 0, 1], image[0, 0, 2]
+            half = self.size / 2
+            boxes, masks = [], []
+            for (cy, cx) in self.centers:
+                vy, vx = cy - oy, cx - ox
+                x0, y0 = vx - half, vy - half
+                x1, y1 = vx + half, vy + half
+                if x1 <= 0 or y1 <= 0 or x0 >= ww or y0 >= hh:
+                    continue
+                boxes.append([max(x0, 0), max(y0, 0),
+                              min(x1, ww), min(y1, hh)])
+                masks.append(np.ones((28, 28), np.float32))
+            n = len(boxes)
+            inst = Instances(
+                (hh, ww),
+                pred_boxes=np.asarray(boxes, np.float32).reshape(n, 4),
+                scores=np.full(n, 0.9, np.float32),
+                pred_classes=np.zeros(n, np.int64),
+                pred_masks=SoftMasks(
+                    np.asarray(masks, np.float32).reshape(n, 28, 28),
+                    np.asarray(boxes, np.float32).reshape(n, 4),
+                    (hh, ww)))
+            return {"instances": inst}
+
+    stub = ClippingStub(get_cfg(), centers)
+    tp = TiledPredictor(cfg, tile=64, overlap=28, predictor=stub)
+    out = tp(img)["instances"]
+    boxes = np.asarray(out.pred_boxes)
+    assert len(boxes) == 1
+    cy = (boxes[0, 1] + boxes[0, 3]) / 2
+    cx = (boxes[0, 0] + boxes[0, 2]) / 2
+    assert (round(float(cy)), round(float(cx))) == centers[0]

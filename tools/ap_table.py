@@ -69,7 +69,8 @@ def build_cfg(ckpt, detections):
 
 
 def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0,
-             extra_cfgs=(), score_mode="max", rot90=False):
+             extra_cfgs=(), score_mode="max", rot90=False, tiled=0,
+             tile_overlap=128):
     from ampis_tpu.utils.io import imread_bgr
     if tta:
         from ampis_tpu.engine.predictor import DefaultPredictor
@@ -80,6 +81,11 @@ def evaluate(cfg, reg_name, tta=False, tta_scales=None, vote_iou=0.0,
                                  score_mode=score_mode,
                                  extra_predictors=[DefaultPredictor(c)
                                                    for c in extra_cfgs])
+    elif tiled:
+        from ampis_tpu.engine.tta import TiledPredictor
+        predictor = TiledPredictor(cfg, tile=tiled,
+                                   overlap=tile_overlap,
+                                   vote_iou=vote_iou)
     else:
         from ampis_tpu.engine.predictor import DefaultPredictor
         predictor = DefaultPredictor(cfg)
@@ -167,7 +173,21 @@ def main():
                          "quality of the high-res mask mode on a model "
                          "trained at 28. bf16 mode only: static-int8 "
                          "activation scales were calibrated at 28 res")
+    ap.add_argument("--tiled", type=int, default=0,
+                    help="tile size for TiledPredictor (engine.tta): "
+                         "overlapping native-resolution tiles merged in "
+                         "original coordinates — the tiny-object "
+                         "resolution-regime lever (e.g. 512 for the "
+                         "satellite model, matching its training crops). "
+                         "Combines with --vote for cross-tile voting in "
+                         "the overlap bands; mutually exclusive with "
+                         "--tta")
+    ap.add_argument("--tile-overlap", type=int, default=128,
+                    help="tile overlap in px (objects larger than this "
+                         "can be clipped in every tile)")
     args = ap.parse_args()
+    if args.tiled and args.tta:
+        ap.error("--tiled and --tta are mutually exclusive")
 
     reg = register(args.dataset)
     detections = args.detections or (
@@ -214,7 +234,13 @@ def main():
             cfg.TPU.INT8_NECK = "static"
         if not args.tta_only:
             base_key = mode + knobs
-            rows[base_key] = evaluate(cfg, reg)
+            if args.tiled:
+                base_key += (f"+tiled{args.tiled}"
+                             + (f"+vote{args.vote}" if args.vote else ""))
+            rows[base_key] = evaluate(cfg, reg, tiled=args.tiled,
+                                      tile_overlap=args.tile_overlap,
+                                      vote_iou=(args.vote if args.tiled
+                                                else 0.0))
             print(f"{args.dataset} [{base_key}] {rows[base_key]}",
                   flush=True)
         if args.tta:
