@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for shadow weights "
                          "(cfg.SOLVER.EMA_DECAY, e.g. 0.999)")
+    ap.add_argument("--init-backbone", default=None,
+                    help="orbax checkpoint from tools/pretrain_backbone"
+                         ".py: graft the SSL-pretrained R50 subtree over "
+                         "the fresh init (cfg.MODEL.BACKBONE.WEIGHTS)")
     ap.add_argument("--outdir", default="./spheroidite_out")
     args = ap.parse_args()
     data_root = Path(args.data)
@@ -170,6 +174,8 @@ def main():
                                       else "FrozenBN")
         else:
             cfg.MODEL.RESNETS.NORM = args.norm
+        if args.init_backbone and args.train and not args.weights:
+            cfg.MODEL.BACKBONE.WEIGHTS = args.init_backbone
         if args.weights:
             cfg.MODEL.WEIGHTS = args.weights
             ckpt_cfg = Path(args.weights).parent / "config.json"
