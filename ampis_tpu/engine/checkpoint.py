@@ -225,6 +225,17 @@ def graft_backbone(params, ssl_path, expect_norm=None):
     if meta_path.exists():
         import json
         norm = json.loads(meta_path.read_text()).get("norm")
+    elif expect_norm:
+        # GN and FrozenBN share an identical {scale, bias} param tree by
+        # design (models/layers.py), so the structural check below CANNOT
+        # catch a cross-norm graft — only the sidecar metadata can
+        import warnings
+        warnings.warn(
+            f"{meta_path} not found: cannot verify the pretrained "
+            f"backbone's norm family matches the model's "
+            f"({expect_norm}); a GN/FrozenBN mismatch would load without "
+            f"error and train from semantically wrong weights",
+            stacklevel=2)
     if expect_norm and norm and norm.lower() != expect_norm.lower():
         raise ValueError(
             f"backbone checkpoint {ssl_path} was pretrained with norm="

@@ -338,18 +338,27 @@ class TiledPredictor:
     """
 
     def __init__(self, cfg, tile=512, overlap=128, edge_margin=4.0,
-                 nms_thresh=None, vote_iou=0.0, predictor=None):
+                 nms_thresh=None, vote_iou=0.0, predictor=None,
+                 tile_batch=16):
         self.predictor = predictor or DefaultPredictor(cfg)
+        # self.cfg is the PREDICTOR's cfg (mutated per call to force
+        # native-scale tiles); merge knobs below honor the cfg ARGUMENT,
+        # like TTAPredictor
         self.cfg = self.predictor.cfg
         self.tile = int(tile)
         self.overlap = int(overlap)
+        if self.overlap >= self.tile:
+            raise ValueError(
+                f"overlap ({self.overlap}) must be < tile ({self.tile}): "
+                f"the tile stride is tile - overlap")
         self.edge_margin = float(edge_margin)
         self.nms_thresh = float(nms_thresh
                                 if nms_thresh is not None
-                                else self.cfg.MODEL.ROI_HEADS
-                                .NMS_THRESH_TEST)
-        self.max_dets = int(self.cfg.TEST.DETECTIONS_PER_IMAGE)
+                                else cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST)
+        self.max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        self.mask_res = 2 * int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION)
         self.vote_iou = float(vote_iou)
+        self.tile_batch = int(tile_batch)
 
     def __call__(self, original_image: np.ndarray):
         h0, w0 = original_image.shape[:2]
@@ -365,51 +374,62 @@ class TiledPredictor:
         # edge, max-size unconstrained -> resize is the identity
         self.cfg.INPUT.MIN_SIZE_TEST = min(th, tw)
         self.cfg.INPUT.MAX_SIZE_TEST = max(th, tw)
+        origins = [(oy, ox) for oy in ys for ox in xs]
+        views = [np.ascontiguousarray(original_image[oy:oy + t, ox:ox + t])
+                 for oy, ox in origins]
         boxes, scores, classes, masks = [], [], [], []
         try:
-            for oy in ys:
-                for ox in xs:
-                    view = np.ascontiguousarray(
-                        original_image[oy:oy + t, ox:ox + t])
-                    inst = self.predictor(view)["instances"]
-                    b = np.asarray(inst.pred_boxes, np.float32).copy()
-                    if not len(b):
-                        continue
-                    vh, vw = view.shape[:2]
-                    m = self.edge_margin
-                    clipped = np.zeros(len(b), bool)
-                    if oy > 0:
-                        clipped |= b[:, 1] < m
-                    if oy + vh < h0:
-                        clipped |= b[:, 3] > vh - m
-                    if ox > 0:
-                        clipped |= b[:, 0] < m
-                    if ox + vw < w0:
-                        clipped |= b[:, 2] > vw - m
-                    sel = ~clipped
-                    if not sel.any():
-                        continue
-                    b = b[sel]
-                    b[:, [0, 2]] += ox
-                    b[:, [1, 3]] += oy
-                    boxes.append(b)
-                    scores.append(np.asarray(inst.scores,
-                                             np.float32)[sel])
-                    classes.append(np.asarray(inst.pred_classes,
-                                              np.int64)[sel])
-                    masks.append(np.ascontiguousarray(np.asarray(
-                        inst.pred_masks.masks, np.float32)[sel]))
+            # all tiles share one shape -> batch them through the
+            # predictor (one device dispatch per tile_batch instead of
+            # one per tile); stub predictors without predict_batch fall
+            # back to per-view calls
+            batch_fn = getattr(self.predictor, "predict_batch", None)
+            outs = []
+            if batch_fn is not None:
+                for i in range(0, len(views), self.tile_batch):
+                    outs.extend(batch_fn(views[i:i + self.tile_batch]))
+            else:
+                outs = [self.predictor(v) for v in views]
+            for (oy, ox), view, out in zip(origins, views, outs):
+                inst = out["instances"]
+                b = np.asarray(inst.pred_boxes, np.float32).copy()
+                if not len(b):
+                    continue
+                vh, vw = view.shape[:2]
+                m = self.edge_margin
+                clipped = np.zeros(len(b), bool)
+                if oy > 0:
+                    clipped |= b[:, 1] < m
+                if oy + vh < h0:
+                    clipped |= b[:, 3] > vh - m
+                if ox > 0:
+                    clipped |= b[:, 0] < m
+                if ox + vw < w0:
+                    clipped |= b[:, 2] > vw - m
+                sel = ~clipped
+                if not sel.any():
+                    continue
+                b = b[sel]
+                b[:, [0, 2]] += ox
+                b[:, [1, 3]] += oy
+                boxes.append(b)
+                scores.append(np.asarray(inst.scores, np.float32)[sel])
+                classes.append(np.asarray(inst.pred_classes,
+                                          np.int64)[sel])
+                masks.append(np.ascontiguousarray(np.asarray(
+                    inst.pred_masks.masks, np.float32)[sel]))
         finally:
             (self.cfg.INPUT.MIN_SIZE_TEST,
              self.cfg.INPUT.MAX_SIZE_TEST) = saved
 
         if not boxes:
             empty = np.zeros((0, 4), np.float32)
+            r = self.mask_res
             inst = Instances(
                 (h0, w0), pred_boxes=empty,
                 scores=np.zeros(0, np.float32),
                 pred_classes=np.zeros(0, np.int64),
-                pred_masks=SoftMasks(np.zeros((0, 28, 28), np.float32),
+                pred_masks=SoftMasks(np.zeros((0, r, r), np.float32),
                                      empty, (h0, w0)))
             return {"instances": inst}
         return merge_detections(

@@ -33,6 +33,11 @@ def seed_cache_from_artifacts(cache_dir: Path):
     """
     import tarfile
 
+    # tools/prime_compile_cache.py records a FRESH cache: it must not be
+    # pre-seeded with existing artifacts (re-priming would otherwise pack
+    # every prior artifact's entries into the new one)
+    if os.environ.get("AMPIS_TPU_NO_CACHE_SEED"):
+        return
     if not _ARTIFACT_DIR.is_dir():
         return
     for tar in sorted(_ARTIFACT_DIR.glob("*.tar.gz")):

@@ -39,6 +39,11 @@ REF = Path("/root/reference/examples")
 
 def validation_filenames():
     """Basenames of every validation image in the shipped datasets."""
+    if not REF.is_dir():
+        raise SystemExit(
+            f"reference example data not found at {REF} — point REF at "
+            f"the shipped powder/spheroidite examples, or supply your "
+            f"own image pool")
     names = set()
     via_dir = REF / "powder/data/via_2.0.8"
     for j in via_dir.glob("*validation*.json"):
@@ -181,7 +186,7 @@ def main():
         rides as a jit *argument* — as a closure constant it would be
         embedded into the HLO as a literal (and a ~1 GB program blows
         the remote-compile request limit)."""
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 9)
         n = hs.shape[0]
         idx = jax.random.randint(ks[0], (args.batch,), 0, n)
         ry = jax.random.uniform(ks[1], (args.batch,))
@@ -210,14 +215,14 @@ def main():
 
         a = 1.0 + jax.random.uniform(ks[6], (args.batch, 1, 1),
                                      minval=-0.25, maxval=0.25)
-        b = jax.random.uniform(ks[6], (args.batch, 1, 1),
+        b = jax.random.uniform(ks[7], (args.batch, 1, 1),
                                minval=-20.0, maxval=20.0)
         m = crops.mean(axis=(1, 2), keepdims=True)
         crops = a * (crops - m) + m + b
         crops = (crops - gray_mean) / gray_std
         images = jnp.repeat(crops[..., None], 3, axis=-1)
         mask = jax.random.bernoulli(
-            ks[7], args.mask_ratio, (args.batch, n_patch, n_patch))
+            ks[8], args.mask_ratio, (args.batch, n_patch, n_patch))
         return images, mask
 
     @jax.jit

@@ -38,6 +38,9 @@ def main():
     fresh = Path(tempfile.mkdtemp(prefix="prime_cache_"))
     env = dict(os.environ)
     env["AMPIS_TPU_COMPILE_CACHE_DIR"] = str(fresh)
+    # keep the fresh dir truly fresh: no artifact seeding, so the packed
+    # entries are exactly this run's programs
+    env["AMPIS_TPU_NO_CACHE_SEED"] = "1"
     cmds = args.cmd or [
         f"{sys.executable} bench.py",
     ]
@@ -48,7 +51,8 @@ def main():
         print(f"priming: {cmd}")
         subprocess.run(cmd, shell=True, cwd=REPO, env=env, check=True)
 
-    entries = [p for p in fresh.iterdir() if p.is_file()]
+    entries = [p for p in fresh.iterdir()
+               if p.is_file() and not p.name.startswith(".seeded-")]
     if not entries:
         sys.exit("no cache entries were produced — nothing to pack")
 
