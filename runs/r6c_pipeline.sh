@@ -20,6 +20,18 @@ commit_ckpt () {
   git commit -m "$3" || true
 }
 
+# 0. p5 mid-checkpoint sweep: validation loss bottomed at iter 5399
+#    (1.768 vs p4's 1.843 best) then overfit (2.014 at 9000) — the SSL
+#    init wants a shorter schedule; measure the mid checkpoints
+if [ -d runs/p5_ssl/train/ckpt_5400 ] && \
+   [ ! -s runs/logs/eval_p5_mid.log ]; then
+  for CK in ckpt_5400 ckpt_7200; do
+    timeout 3600 python $AP --ckpt runs/p5_ssl/train/$CK --modes bf16 \
+      --maskness 1.0 >> runs/logs/eval_p5_mid.log 2>&1
+  done
+  commit_logs "p5 mid-checkpoint sweep (val-loss minimum at 5400)"
+fi
+
 # 1. spheroidite + SSL backbone (t3_sph recipe, single change = init)
 if [ -d $SSL ] && [ ! -d $S4 ]; then
   timeout 7200 python examples/spheroidite_workflow.py --train \
