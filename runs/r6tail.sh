@@ -62,7 +62,29 @@ if ! ls artifacts/compile_cache/*.tar.gz >/dev/null 2>&1 && \
   fi
 fi
 
-# 4. satellite retrain with the SSL backbone
+# 4. p5b: short schedule matched to the SSL init (6000 iters -> LR
+#    decays at 4200/5400, landing where p5's val loss bottomed)
+if [ -d $SSL ] && [ ! -d runs/p5b_short/train/ckpt_6000 ] && \
+   have_minutes 80; then
+  timeout 7200 python examples/powder_workflow.py --train --max-iter 6000 \
+    --lr 4e-3 --batch 2 --flip both --jitter 0.2 \
+    --rotate 0,15,-15,30,-30 --ema 0.999 \
+    --crop 704 --min-sizes 576,640,704 \
+    --pseudo runs/pseudo2/particles.json \
+    --edge-loss 0.5 \
+    --init-backbone $SSL \
+    --outdir runs/p5b_short > runs/logs/p5b_short.log 2>&1
+  commit_ckpt runs/p5b_short/train ckpt_6000 \
+    "p5b: SSL init + 6000-iter schedule (decay at the val-loss minimum)"
+fi
+if [ -d runs/p5b_short/train/ckpt_6000 ] && \
+   [ ! -s runs/logs/eval_p5b.log ] && have_minutes 20; then
+  timeout 3600 python $AP --ckpt runs/p5b_short/train/ckpt_6000 \
+    --modes bf16 --maskness 1.0 > runs/logs/eval_p5b.log 2>&1
+  commit_logs "p5b short-schedule eval (single-pass + maskness)"
+fi
+
+# 5. satellite retrain with the SSL backbone
 if [ -d $SSL ] && [ ! -d $T6 ] && have_minutes 90; then
   timeout 10800 python examples/powder_workflow.py \
     --train-satellites --sat-native --max-iter 9000 \
@@ -85,28 +107,6 @@ if [ -d $T6 ] && [ ! -s runs/logs/eval_t6_sat.log ] && have_minutes 30; then
     --tile-overlap 128 --maskness 1.0 \
     > runs/logs/eval_t6_sat_tiled.log 2>&1
   commit_logs "SSL-backbone satellite model: whole-frame + tiled rows"
-fi
-
-# 5. p5b: short schedule matched to the SSL init (6000 iters -> LR
-#    decays at 4200/5400, landing where p5's val loss bottomed)
-if [ -d $SSL ] && [ ! -d runs/p5b_short/train/ckpt_6000 ] && \
-   have_minutes 80; then
-  timeout 7200 python examples/powder_workflow.py --train --max-iter 6000 \
-    --lr 4e-3 --batch 2 --flip both --jitter 0.2 \
-    --rotate 0,15,-15,30,-30 --ema 0.999 \
-    --crop 704 --min-sizes 576,640,704 \
-    --pseudo runs/pseudo2/particles.json \
-    --edge-loss 0.5 \
-    --init-backbone $SSL \
-    --outdir runs/p5b_short > runs/logs/p5b_short.log 2>&1
-  commit_ckpt runs/p5b_short/train ckpt_6000 \
-    "p5b: SSL init + 6000-iter schedule (decay at the val-loss minimum)"
-fi
-if [ -d runs/p5b_short/train/ckpt_6000 ] && \
-   [ ! -s runs/logs/eval_p5b.log ] && have_minutes 20; then
-  timeout 3600 python $AP --ckpt runs/p5b_short/train/ckpt_6000 \
-    --modes bf16 --maskness 1.0 > runs/logs/eval_p5b.log 2>&1
-  commit_logs "p5b short-schedule eval (single-pass + maskness)"
 fi
 
 # 6. spheroidite + SSL backbone
