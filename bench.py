@@ -247,6 +247,22 @@ def main():
     out = run(params, images_dev)
     sync(out)
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # --- model FLOPs for the MFU line (VERDICT r4 #8) ---
+    # XLA's own cost model on the exact compiled program (one batch).
+    # Convention: bf16 peak is the denominator even though the mask head/
+    # backbone run int8 on the bench path — int8 work counted at bf16
+    # peak understates MFU, never inflates it.
+    flops_per_batch = None
+    try:
+        cost = run.lower(params, images_dev).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        f = float(cost.get("flops", 0.0))
+        if f > 0:
+            flops_per_batch = f
+    except Exception as e:  # noqa: BLE001 — MFU is best-effort
+        print(f"# cost analysis unavailable ({e})", file=sys.stderr)
     if mask_cap:
         n_valid = int(_np.asarray(out["valid"]).sum())
         n_drop = int(_np.asarray(out["mask_dropped"]))
@@ -270,13 +286,30 @@ def main():
     precision = ("bf16 + int8 " + "/".join(
         {"int8_mask_head": "mask head", "int8_backbone": "backbone",
          "int8_neck": "neck"}[k] for k in quant)) if quant else "bf16"
-    print(json.dumps({
+    record = {
         "metric": "SEM images/sec/chip (Mask R-CNN R50-FPN inference, "
                   f"1536x1024->800, 400 dets/img, {precision})",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 3),
-    }))
+    }
+    if flops_per_batch:
+        # peak dense bf16 FLOPs/s per chip; override with BENCH_PEAK_FLOPS
+        kind = getattr(jax.devices()[0], "device_kind", "")
+        peaks = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+                 "TPU v4": 275e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12}
+        peak = float(os.environ.get(
+            "BENCH_PEAK_FLOPS",
+            next((v for k, v in peaks.items() if k in kind), 0)) or 0)
+        if peak:
+            mfu = flops_per_batch * ITERS / dt / peak
+            record["mfu"] = round(mfu, 4)
+            record["model_gflops_per_image"] = round(
+                flops_per_batch / BATCH / 1e9, 1)
+            print(f"# MFU {100 * mfu:.1f}% of bf16 peak "
+                  f"({record['model_gflops_per_image']} GFLOP/img, "
+                  f"peak {peak / 1e12:.0f} TFLOP/s)", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

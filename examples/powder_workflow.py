@@ -205,6 +205,16 @@ def main():
                          "the fresh init (cfg.MODEL.BACKBONE.WEIGHTS) — "
                          "the in-environment stand-in for the reference's "
                          "COCO transfer learning")
+    ap.add_argument("--synth-train", default=None,
+                    help="synthetic-scene JSON (tools/synth_scenes.py, "
+                         "get_ddicts 'rle' format): REPLACES the training "
+                         "split of whichever model this invocation trains "
+                         "— full-detector pretraining on procedural SEM "
+                         "scenes, the in-environment stand-in for COCO "
+                         "detection pretraining (validation stays the "
+                         "real split, so val-loss curves remain "
+                         "comparable). Fine-tune afterwards by passing "
+                         "the resulting checkpoint via --weights --train")
     ap.add_argument("--outdir", default="./powder_out")
     args = ap.parse_args()
 
@@ -236,6 +246,14 @@ def main():
             cfg.TPU.INT8_NECK = "static"
         cfg.DATASETS.TRAIN = (names[(thing, "training")],)
         cfg.DATASETS.TEST = (names[(thing, "validation")],)
+        if args.synth_train and do_train:
+            sname = f"synth_{thing}_{Path(args.synth_train).stem}"
+            if sname not in DatasetCatalog.list():
+                DatasetCatalog.register(
+                    sname, lambda p=args.synth_train:
+                    data_utils.get_ddicts("rle", p))
+                MetadataCatalog.get(sname).set(thing_classes=[thing])
+            cfg.DATASETS.TRAIN = (sname,)
         pseudo_json = (args.pseudo if thing == "particle"
                        else args.sat_pseudo)
         if pseudo_json and do_train:

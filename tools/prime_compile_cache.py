@@ -56,17 +56,30 @@ def main():
     if not entries:
         sys.exit("no cache entries were produced — nothing to pack")
 
+    import json
+
+    import jax
+    import jaxlib
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
     if args.tag:
         tag = args.tag
     else:
-        import jax
-        import jaxlib
-        dev = jax.devices()[0]
-        kind = getattr(dev, "device_kind", dev.platform)
         tag = f"{kind}-{jaxlib.__version__}".replace(" ", "-").lower()
+    # platform metadata gates seed-time unpacking (XLA:CPU executables
+    # are host-feature-specific — ampis_tpu.utils.compile_cache)
+    meta = {"platform": jax.default_backend(), "device_kind": kind,
+            "jaxlib": jaxlib.__version__}
+    if meta["platform"] == "cpu":
+        sys.path.insert(0, str(REPO))
+        from ampis_tpu.utils.compile_cache import host_cpu_fingerprint
+        meta["cpu_fingerprint"] = host_cpu_fingerprint()
+    meta_path = fresh / "CACHE_META.json"
+    meta_path.write_text(json.dumps(meta))
     out = REPO / "artifacts" / "compile_cache" / f"{tag}.tar.gz"
     out.parent.mkdir(parents=True, exist_ok=True)
     with tarfile.open(out, "w:gz") as tf:
+        tf.add(meta_path, arcname="CACHE_META.json")
         for p in sorted(entries):
             tf.add(p, arcname=p.name)
     total = sum(p.stat().st_size for p in entries)
