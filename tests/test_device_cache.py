@@ -10,6 +10,10 @@ import pytest
 from PIL import Image
 
 from ampis_tpu import rle as RLE
+
+# compile-heavy layer: full model programs compile for minutes on
+# the CPU mesh; run via the full suite, not `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
 from ampis_tpu.engine.config import get_cfg
 from ampis_tpu.engine.data import DetectionLoader
 from ampis_tpu.engine.device_cache import DeviceBatcher

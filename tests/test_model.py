@@ -11,6 +11,10 @@ from ampis_tpu.engine import checkpoint as ckpt_lib
 from ampis_tpu.engine.trainer import build_lr_schedule, trainable_mask
 from ampis_tpu.engine.config import get_cfg
 
+# compile-heavy layer: full model programs compile for minutes on
+# the CPU mesh; run via the full suite, not `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 class TestAnchors:
     def test_cell_anchor_geometry(self):

@@ -6,6 +6,10 @@ from ampis_tpu.engine.config import get_cfg
 from ampis_tpu.engine.tta import TTAPredictor, greedy_nms
 from ampis_tpu.structures import Instances, SoftMasks
 
+# compile-heavy layer: full model programs compile for minutes on
+# the CPU mesh; run via the full suite, not `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 def test_greedy_nms_basic():
     boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
