@@ -14,6 +14,8 @@
 #   4. s4 — spheroidite + SSL graft (transfer evidence beyond powder).
 cd /root/repo
 mkdir -p runs/logs
+echo $$ > /tmp/r7.pid
+trap 'rm -f /tmp/r7.pid' EXIT
 set -x
 
 END_TS=1787366700   # ~02:45 UTC, a few min before the round closes

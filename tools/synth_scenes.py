@@ -88,7 +88,7 @@ class Particle:
         self.aspect = rng.uniform(0.82, 1.0) if not irregular else \
             rng.uniform(0.6, 1.0)
         self.rot = rng.uniform(0, np.pi)
-        self.base = float(np.clip(rng.normal(120, 22), 70, 190))
+        self.base = float(np.clip(rng.normal(133, 24), 75, 200))
         self.rim_amp = float(np.clip(rng.normal(55, 18), 15, 100))
         self.rim_w = rng.uniform(1.3, 3.2)
         self.tex_amp = (rng.uniform(0.15, 0.35) if irregular
@@ -145,7 +145,7 @@ class Particle:
 def make_scene(rng, size=704, max_parts=120, max_sats=60):
     H = W = size
     scale = rng.uniform(0.7, 1.35)
-    target_cov = rng.uniform(0.42, 0.72)
+    target_cov = rng.uniform(0.48, 0.75)
     parts = []
     # coverage tracked on an 8x-coarse grid (placement only needs ~1%)
     cg = 8
