@@ -62,14 +62,14 @@ fi
 # 2. t7 fine-tune: t5's exact recipe, initialized from the synthetic
 #    detector (reference-style transfer learning; FREEZE_AT defaults to
 #    2 with --weights, matching the reference recipe)
-if [ -d $T7PRE/ckpt_20000 ] && [ ! -d $T7/ckpt_9000 ] && have_minutes 55; then
-  timeout 4500 python examples/powder_workflow.py --train \
+if [ -d $T7PRE/ckpt_20000 ] && [ ! -d $T7/ckpt_9000 ] && have_minutes 75; then
+  timeout 7200 python examples/powder_workflow.py --train \
     --weights $T7PRE/ckpt_20000 \
     --max-iter 9000 --lr 4e-3 --batch 2 --flip both --jitter 0.2 \
     --rotate 0,15,-15,30,-30 --ema 0.999 \
     --crop 704 --min-sizes 576,640,704 \
     --pseudo runs/pseudo2/particles.json \
-    --edge-loss 0.5 --standardize on --cache-mb 4096 \
+    --edge-loss 0.5 --standardize on --cache-mb 5120 \
     --outdir runs/t7_ft > runs/logs/t7_ft.log 2>&1
   commit_ckpt $T7 ckpt_5400 "t7: synth-pretrained detector fine-tuned (ckpt_5400)"
   commit_ckpt $T7 ckpt_9000 "t7: synth-pretrained detector fine-tuned (final)"
@@ -170,14 +170,14 @@ fi
 
 # 9. t7b: fine-tune with FREEZE_AT=0 (full adaptation) — the one recipe
 #    fork worth measuring against step 2's reference-style FREEZE_AT=2
-if [ -d $T7PRE/ckpt_20000 ] && [ ! -d $T7B/ckpt_9000 ] && have_minutes 55; then
-  timeout 4500 python examples/powder_workflow.py --train \
+if [ -d $T7PRE/ckpt_20000 ] && [ ! -d $T7B/ckpt_9000 ] && have_minutes 75; then
+  timeout 7200 python examples/powder_workflow.py --train \
     --weights $T7PRE/ckpt_20000 --freeze-at 0 \
     --max-iter 9000 --lr 4e-3 --batch 2 --flip both --jitter 0.2 \
     --rotate 0,15,-15,30,-30 --ema 0.999 \
     --crop 704 --min-sizes 576,640,704 \
     --pseudo runs/pseudo2/particles.json \
-    --edge-loss 0.5 --standardize on --cache-mb 4096 \
+    --edge-loss 0.5 --standardize on --cache-mb 5120 \
     --outdir runs/t7b_ft > runs/logs/t7b_ft.log 2>&1
   commit_ckpt $T7B ckpt_9000 "t7b: synth-pretrained fine-tune, FREEZE_AT=0"
   if [ -d $T7B/ckpt_9000 ] && have_minutes 16; then

@@ -174,4 +174,27 @@ def test_trainer_mesh_production_shape_step(tmp_path):
     batch = next(trainer.device_batcher.infinite())
     sh = batch[images_key].sharding
     assert sh.spec == P("data")
-    assert batch[images_key].shape[1:3] == (800, 1216)
+    # contract: the device cache holds RAW canvases (resize/normalize
+    # runs in-graph — engine/trainer.py module docstring,
+    # docs/performance.md "No full-resolution masks on device"), so the
+    # batch carries the 1024x1536 input canvas and the in-graph resize
+    # target (1536 * 800/1024 = 1200; the /32 canvas pad to 1216 also
+    # happens in-graph) separately
+    assert batch[images_key].shape[1:3] == (1024, 1536)
+    assert tuple(batch["new_shape"]) == (800, 1200)
+    # steady state: the cache fills monotonically up to the loader's
+    # variant count (8 images x 2 flip codes = 16 here), then further
+    # draws issue zero new uploads. Materialize every variant
+    # deterministically rather than waiting on random draws to cover
+    # the set, then verify an epoch of draws adds nothing.
+    batcher = trainer.device_batcher
+    loader = batcher.loader
+    n_var = loader.n_variants()
+    for idx in range(len(loader.ddicts)):
+        for code in range(n_var // len(loader.ddicts) // len(loader.min_sizes)):
+            for ms in loader.min_sizes:
+                batcher._get(idx, ms, code)
+    assert batcher.n_cached == n_var == 16
+    for _ in range(4):
+        next(batcher.infinite())
+    assert batcher.n_cached == n_var  # zero steady-state uploads
